@@ -1,0 +1,69 @@
+package graft.core
+
+import org.locationtech.jts.geom._
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+
+/** Planar geometry helpers over JTS (jts-core-1.20.0, on the Spark jar
+  * classpath). All geometries are WGS84 lon/lat by convention (reference:
+  * srai/constants.py:6 — everything is EPSG:4326); geometry columns are WKB
+  * `BinaryType`.
+  *
+  * JTS objects are NOT kept in DataFrames — only WKB bytes cross the
+  * executor boundary, so no kryo registration or UDT is needed and parquet
+  * stores plain binary.
+  */
+object Geo {
+  // JTS readers/writers are not thread-safe; executors call these from many
+  // tasks at once, so keep one per thread.
+  private val factory = new GeometryFactory(new PrecisionModel(), 4326)
+  private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
+  private val wkbWriter = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter())
+  private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
+  private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter())
+
+  def fromWkb(b: Array[Byte]): Geometry = wkbReader.get.read(b)
+  def toWkb(g: Geometry): Array[Byte] = wkbWriter.get.write(g)
+  def fromWkt(s: String): Geometry = wktReader.get.read(s)
+  def toWkt(g: Geometry): String = wktWriter.get.write(g)
+  def wktToWkb(s: String): Array[Byte] = toWkb(fromWkt(s))
+
+  def point(lng: Double, lat: Double): Geometry =
+    factory.createPoint(new Coordinate(lng, lat))
+
+  /** Axis-aligned box polygon (lon/lat), closed ring, CCW. */
+  def box(minX: Double, minY: Double, maxX: Double, maxY: Double): Geometry = {
+    val cs = Array(
+      new Coordinate(minX, minY), new Coordinate(maxX, minY),
+      new Coordinate(maxX, maxY), new Coordinate(minX, maxY),
+      new Coordinate(minX, minY))
+    factory.createPolygon(cs)
+  }
+
+  /** Polygon from (lng,lat) vertex seq; ring closed automatically. */
+  def polygon(coords: Seq[(Double, Double)]): Geometry = {
+    val closed = if (coords.head == coords.last) coords else coords :+ coords.head
+    factory.createPolygon(closed.map { case (x, y) => new Coordinate(x, y) }.toArray)
+  }
+
+  /** Explode multi-geometries into simple parts (reference:
+    * srai/regionalizers/_base.py:26-36 explode; srai/geometry.py:35-46
+    * flatten_geometry — recursive). */
+  def dump(g: Geometry): Seq[Geometry] =
+    if (g.getNumGeometries <= 1) Seq(g)
+    else (0 until g.getNumGeometries).flatMap(i => dump(g.getGeometryN(i)))
+
+  /** Drop polygon interior rings (reference: srai/geometry.py:50-64). */
+  def removeInteriors(g: Geometry): Geometry = g match {
+    case p: Polygon if p.getNumInteriorRing > 0 =>
+      factory.createPolygon(p.getExteriorRing.getCoordinateSequence)
+    case mp: MultiPolygon =>
+      factory.createMultiPolygon(
+        (0 until mp.getNumGeometries)
+          .map(i => removeInteriors(mp.getGeometryN(i)).asInstanceOf[Polygon]).toArray)
+    case other => other
+  }
+
+  def union(gs: Iterable[Geometry]): Geometry =
+    org.locationtech.jts.operation.union.UnaryUnionOp.union(
+      scala.jdk.CollectionConverters.IterableHasAsJava(gs).asJavaCollection)
+}

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions._
+
+/** Function registration + Column-level API.
+  *
+  * Functions are injected via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.GraftExtensions`) or imperatively with
+  * [[Gf.register]]; the Column wrappers go through `call_function`, so the
+  * same definitions serve SQL and the DataFrame API.
+  */
+object Gf {
+
+  private val defs: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "st_intersects" -> (e => StIntersects(e(0), e(1))),
+    "st_contains" -> (e => StContains(e(0), e(1))),
+    "st_within" -> (e => StWithin(e(0), e(1))),
+    "st_touches" -> (e => StTouches(e(0), e(1))),
+    "st_contains_centroid" -> (e => StContainsCentroid(e(0), e(1))),
+    "st_intersection" -> (e => StIntersection(e(0), e(1))),
+    "st_geomfromtext" -> (e => StGeomFromText(e(0))),
+    "st_astext" -> (e => StAsText(e(0))),
+    "st_point" -> (e => StPoint(e(0), e(1))),
+    "st_area" -> (e => StArea(e(0))),
+    "st_centroid_x" -> (e => StCentroidX(e(0))),
+    "st_centroid_y" -> (e => StCentroidY(e(0))),
+    "st_dump" -> (e => StDump(e(0))),
+    "s2_cell" -> (e => S2CellId(e(0), e(1), e(2))),
+    "s2_token" -> (e => S2Token(e(0))),
+    "s2_from_token" -> (e => S2FromToken(e(0))),
+    "s2_children" -> (e => S2Children(e(0), e(1))),
+    "s2_cover" -> (e => S2Cover(e(0), e(1))),
+    "s2_boundary" -> (e => S2Boundary(e(0))),
+    "s2_parent" -> (e => S2Parent(e(0), e(1))),
+    "slippy_cover" -> (e => SlippyCover(e(0), e(1))),
+    "slippy_boundary" -> (e => SlippyBoundary(e(0), e(1), e(2))))
+
+  /** SparkSessionExtensions hook (used by graft.GraftExtensions). */
+  def inject(ext: SparkSessionExtensions): Unit = defs.foreach { case (name, builder) =>
+    ext.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name), builder))
+  }
+
+  /** Imperative registration for an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = defs.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+
+  // ---- Column API ----
+  def stIntersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)
+  def stContains(a: Column, b: Column): Column = call_function("st_contains", a, b)
+  def stWithin(a: Column, b: Column): Column = call_function("st_within", a, b)
+  def stTouches(a: Column, b: Column): Column = call_function("st_touches", a, b)
+  def stContainsCentroid(a: Column, b: Column): Column =
+    call_function("st_contains_centroid", a, b)
+  def stIntersection(a: Column, b: Column): Column = call_function("st_intersection", a, b)
+  def stGeomFromText(a: Column): Column = call_function("st_geomfromtext", a)
+  def stAsText(a: Column): Column = call_function("st_astext", a)
+  def stPoint(lng: Column, lat: Column): Column =
+    call_function("st_point", lng.cast("double"), lat.cast("double"))
+  def stArea(a: Column): Column = call_function("st_area", a)
+  def stCentroidX(a: Column): Column = call_function("st_centroid_x", a)
+  def stCentroidY(a: Column): Column = call_function("st_centroid_y", a)
+  def stDump(a: Column): Column = call_function("st_dump", a)
+
+  def s2Cell(lng: Column, lat: Column, level: Int): Column =
+    call_function("s2_cell", lng.cast("double"), lat.cast("double"), lit(level))
+  def s2Token(id: Column): Column = call_function("s2_token", id)
+  def s2FromToken(t: Column): Column = call_function("s2_from_token", t)
+  def s2Children(id: Column, level: Int): Column =
+    call_function("s2_children", id, lit(level))
+  def s2Cover(geom: Column, level: Int): Column = call_function("s2_cover", geom, lit(level))
+  def s2Boundary(id: Column): Column = call_function("s2_boundary", id)
+  def s2Parent(id: Column, level: Int): Column = call_function("s2_parent", id, lit(level))
+
+  def slippyCover(geom: Column, zoom: Int): Column =
+    call_function("slippy_cover", geom, lit(zoom))
+  def slippyBoundary(x: Column, y: Column, zoom: Int): Column =
+    call_function("slippy_boundary", x.cast("int"), y.cast("int"), lit(zoom))
+
+  /** Slippy tile (x, y) for a point — pure built-in column math, fully
+    * codegen'd, zero custom code in the hot path (reference math:
+    * slippy_map_regionalizer.py:105-117). The formula is also directly
+    * expressible in ANSI SQL for the DuckDB oracle. */
+  def slippyX(lng: Column, zoom: Int): Column =
+    least(lit((1 << zoom) - 1), greatest(lit(0),
+      floor((lng + 180.0) / 360.0 * (1 << zoom)).cast("int")))
+
+  def slippyY(lat: Column, zoom: Int): Column =
+    least(lit((1 << zoom) - 1), greatest(lit(0),
+      floor((lit(1.0) - asinh(tan(radians(lat))) / math.Pi) / 2.0 * (1 << zoom)).cast("int")))
+
+  def slippyId(lng: Column, lat: Column, zoom: Int): Column =
+    concat_ws("_", slippyX(lng, zoom), slippyY(lat, zoom), lit(zoom))
+}

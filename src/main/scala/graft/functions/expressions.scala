@@ -1,0 +1,263 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Catalyst expressions for the engine's geometry + cell-index functions.
+  *
+  * Each is a thin shell over a static kernel in [[GeoOps]] /
+  * [[CatalystHelpers]]: `doGenCode` emits a direct static call, so these stay
+  * inside whole-stage codegen (no ScalaUDF boxing, no kryo) — the reason we
+  * use native expressions instead of `functions.udf` (SURVEY.md §2.9).
+  */
+object kernels {
+  final val G = "graft.functions.GeoOps"
+  final val C = "graft.functions.CatalystHelpers"
+}
+import kernels.{G, C}
+
+abstract class GeoBinaryPredicate extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  protected def method: String
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalKernel(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected def evalKernel(a: Array[Byte], b: Array[Byte]): Boolean
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$G.$method($a, $b)")
+}
+
+/** st_intersects(region_wkb, feature_wkb) — J1 refinement predicate
+  * (reference: srai/joiners/intersection_joiner.py:104-106 uses STRtree
+  * `intersects`; here it's the exact refinement after the cell equi-join). */
+case class StIntersects(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def prettyName: String = "st_intersects"
+  protected def method = "intersects"
+  protected def evalKernel(a: Array[Byte], b: Array[Byte]): Boolean = GeoOps.intersects(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class StContains(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def prettyName: String = "st_contains"
+  protected def method = "contains"
+  protected def evalKernel(a: Array[Byte], b: Array[Byte]): Boolean = GeoOps.contains(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class StWithin(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def prettyName: String = "st_within"
+  protected def method = "within"
+  protected def evalKernel(a: Array[Byte], b: Array[Byte]): Boolean = GeoOps.within(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class StTouches(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def prettyName: String = "st_touches"
+  protected def method = "touches"
+  protected def evalKernel(a: Array[Byte], b: Array[Byte]): Boolean = GeoOps.touches(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ContainsCentroid mode of the H3 regionalizer (srai/h3.py:78, buffer=False). */
+case class StContainsCentroid(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def prettyName: String = "st_contains_centroid"
+  protected def method = "containsCentroid"
+  protected def evalKernel(a: Array[Byte], b: Array[Byte]): Boolean = GeoOps.containsCentroid(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** st_intersection — J2's intersection geometry (intersection_joiner.py:76-87). */
+case class StIntersection(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "st_intersection"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoOps.intersection(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$G.intersection($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class StGeomFromText(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "st_geomfromtext"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = GeoOps.geomFromText(v.toString)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$G.geomFromText($v.toString())")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StAsText(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "st_astext"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      GeoOps.asText(v.asInstanceOf[Array[Byte]]))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"org.apache.spark.unsafe.types.UTF8String.fromString($G.asText($v))")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "st_point"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(lng: Any, lat: Any): Any =
+    GeoOps.makePoint(lng.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$G.makePoint($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class StArea(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "st_area"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = GeoOps.area(v.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$G.area($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StCentroidX(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "st_centroid_x"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = GeoOps.centroidX(v.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$G.centroidX($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StCentroidY(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "st_centroid_y"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = GeoOps.centroidY(v.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$G.centroidY($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** st_dump — multipolygon explode (reference: regionalizers/_base.py:26-36). */
+case class StDump(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "st_dump"
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = CatalystHelpers.dump(v.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$C.dump($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+// ---------------- S2 ----------------
+
+/** s2_cell(lng, lat, level) → cell id. The scalar point fast-path of the
+  * engine (SURVEY.md J4): tile assignment for points is a projection, not a
+  * join. */
+case class S2CellId(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "s2_cell"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(lng: Any, lat: Any, lvl: Any): Any =
+    CatalystHelpers.s2Cell(lng.asInstanceOf[Double], lat.asInstanceOf[Double],
+      lvl.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"$C.s2Cell($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** Token form of a cell id — srai's S2 region ids are tokens
+  * (s2_regionalizer.py:98-102). */
+case class S2Token(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "s2_token"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = CatalystHelpers.s2Token(v.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$C.s2Token($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class S2FromToken(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "s2_from_token"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    CatalystHelpers.s2FromToken(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$C.s2FromToken($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** s2_children(cell, target_level) — the raster↔vector patch expansion
+  * (reference: s2vec/s2_utils.py:31-37 BFS; here a generator-feeding array). */
+case class S2Children(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "s2_children"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(id: Any, lvl: Any): Any =
+    CatalystHelpers.s2Children(id.asInstanceOf[Long], lvl.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$C.s2Children($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** s2_cover(geom_wkb, level) — all level-`level` cells intersecting the
+  * geometry (reference: s2_regionalizer.py polyfill+refine ≡ this). */
+case class S2Cover(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "s2_cover"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(wkb: Any, lvl: Any): Any =
+    CatalystHelpers.s2Cover(wkb.asInstanceOf[Array[Byte]], lvl.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$C.s2Cover($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** s2_boundary(cell) — planar 4-vertex cell polygon (s2_regionalizer.py:98-102). */
+case class S2Boundary(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "s2_boundary"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = CatalystHelpers.s2Boundary(v.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$C.s2Boundary($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class S2Parent(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "s2_parent"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(id: Any, lvl: Any): Any =
+    CatalystHelpers.s2Parent(id.asInstanceOf[Long], lvl.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$C.s2Parent($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+// ---------------- slippy ----------------
+
+/** slippy_cover(geom_wkb, zoom) → array<struct<x:int,y:int>>
+  * (reference: slippy_map_regionalizer.py:77-103). */
+case class SlippyCover(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "slippy_cover"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("x", IntegerType, false), StructField("y", IntegerType, false))),
+    containsNull = false)
+  override def nullSafeEval(wkb: Any, zoom: Any): Any =
+    CatalystHelpers.slippyCover(wkb.asInstanceOf[Array[Byte]], zoom.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$C.slippyCover($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class SlippyBoundary(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "slippy_boundary"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    CatalystHelpers.slippyBoundary(x.asInstanceOf[Int], y.asInstanceOf[Int], z.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"$C.slippyBoundary($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Gf
+
+/** Spatial equi-pair join — the engine's flagship operator.
+  *
+  * Reference semantics (srai/joiners/intersection_joiner.py:89-112): all
+  * (region_id, feature_id) pairs whose geometries intersect; with
+  * `returnGeom` also the intersection geometry (:62-87). The reference uses
+  * an in-memory STRtree; the distributed plan here is the cell-indexed hash
+  * join of SURVEY.md J1:
+  *
+  *   regions --explode(s2_cover(geom, L))--> (cell, region)
+  *   features --s2_cell / s2_cover--> (cell, feature)
+  *   join on cell (hash/broadcast)  →  exact JTS `st_intersects` refinement
+  *   → dropDuplicates(pair)
+  *
+  * Scale properties: the only shuffles are the cell-keyed join and the pair
+  * dedup; the cell join key distributes by space, AQE skew-join splits hot
+  * (urban) cells, and `salt > 0` adds explicit replicate-and-salt for the
+  * region side when a known-hot workload needs it. Small region tables
+  * broadcast (explicitly via `broadcastRegions` or by Spark's threshold).
+  *
+  * @param cellLevel   S2 level of the index grid. Pick so a typical region
+  *                    geometry covers a handful of cells (default 12 ≈ 3 km).
+  * @param pointFeatures fast path: features are points → scalar single-cell
+  *                    assignment (no cover, no dedup needed for the feature
+  *                    side; SURVEY.md J4). Correct for any point input.
+  * @param broadcastRegions force (true) / forbid (false) broadcast of the
+  *                    exploded region side; None → Spark decides.
+  * @param salt        explicit skew salting factor for the feature side
+  *                    (0 = rely on AQE).
+  */
+class IntersectionJoiner(
+    cellLevel: Int = 12,
+    pointFeatures: Boolean = false,
+    broadcastRegions: Option[Boolean] = None,
+    salt: Int = 0) {
+
+  import Tables._
+
+  def transform(regions: DataFrame, features: DataFrame,
+                returnGeom: Boolean = false): DataFrame = {
+    validate(regions, "regions")
+    validate(features, "features")
+
+    val rGeom = col("r_geom"); val fGeom = col("f_geom")
+
+    var regionCells = regions
+      .select(col(RegionsIndex), col(Geometry).as("r_geom"))
+      .withColumn("cell", explode(Gf.s2Cover(rGeom, cellLevel)))
+    val featureCell: Column =
+      if (pointFeatures)
+        Gf.s2Cell(call_function("st_centroid_x", fGeom),
+          call_function("st_centroid_y", fGeom), cellLevel)
+      else explode(Gf.s2Cover(fGeom, cellLevel))
+    var featureCells = features
+      .select(col(FeaturesIndex), col(Geometry).as("f_geom"))
+      .withColumn("cell", featureCell)
+
+    if (salt > 0) {
+      regionCells = regionCells.withColumn("s",
+        explode(lit((0 until salt).toArray)))
+      featureCells = featureCells.withColumn("s",
+        pmod(xxhash64(col(FeaturesIndex)), lit(salt)).cast("int"))
+    }
+    val joinKeys = if (salt > 0) Seq("cell", "s") else Seq("cell")
+
+    val left = broadcastRegions match {
+      case Some(true) => broadcast(regionCells)
+      case _ => regionCells
+    }
+    var joined = featureCells
+      .join(left, joinKeys, "inner")
+      .where(Gf.stIntersects(rGeom, fGeom))
+      .select(col(RegionsIndex), col(FeaturesIndex), rGeom, fGeom)
+      .dropDuplicates(RegionsIndex, FeaturesIndex)
+
+    if (returnGeom)
+      joined.select(col(RegionsIndex), col(FeaturesIndex),
+        Gf.stIntersection(rGeom, fGeom).as(Geometry))
+    else
+      joined.select(col(RegionsIndex), col(FeaturesIndex))
+  }
+
+  private def validate(df: DataFrame, side: String): Unit = {
+    require(df.columns.contains(Geometry),
+      s"$side must have a '$Geometry' column (reference raises ValueError)")
+    require(!df.isEmpty, s"$side table is empty (reference raises ValueError)")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Gf
+
+/** Core table contract (reference: srai/constants.py:8-13). */
+object Tables {
+  val RegionsIndex = "region_id"
+  val FeaturesIndex = "feature_id"
+  val Geometry = "geom"
+}
+
+/** Regionalizer contract (reference: srai/regionalizers/_base.py:8-36):
+  * transform(areas(geom)) → regions(region_id, geom), with multipolygon
+  * explode preprocessing and duplicate-cell dropping. Input validation
+  * mirrors the reference's errors (empty input / missing geometry column →
+  * error). */
+trait Regionalizer {
+  def transform(areas: DataFrame): DataFrame
+
+  protected def validate(areas: DataFrame): Unit = {
+    require(areas.columns.contains(Tables.Geometry),
+      s"areas must have a '${Tables.Geometry}' column (WKB)")
+    require(!areas.isEmpty, "Cannot regionalize an empty table")
+  }
+
+  /** explode multipolygons (reference: _base.py:26-36). */
+  protected def parts(areas: DataFrame): DataFrame =
+    areas.select(explode(Gf.stDump(col(Tables.Geometry))).as("part"))
+}
+
+/** S2 fixed-level covering (reference: srai/regionalizers/s2_regionalizer.py:54-102).
+  * buffer=true → any-overlap cells (polyfill + intersects refine);
+  * buffer=false → only cells fully within the area (within refine).
+  * region_id = S2 token; geometry = planar 4-vertex cell polygon.
+  *
+  * Scale shape: one generator (`explode(s2_cover)`) per input part — no
+  * join, no driver loop; `dropDuplicates` is the only shuffle, keyed by cell
+  * id, so it partitions evenly by space. */
+class S2Regionalizer(level: Int, buffer: Boolean = true) extends Regionalizer {
+  require(level >= 0 && level <= 30, s"S2 level must be in [0, 30], got $level")
+
+  override def transform(areas: DataFrame): DataFrame = {
+    validate(areas)
+    val covered = parts(areas)
+      .select(col("part"), explode(Gf.s2Cover(col("part"), level)).as("cell"))
+    val refined =
+      if (buffer) covered
+      else covered.where(Gf.stWithin(Gf.s2Boundary(col("cell")), col("part")))
+    refined
+      .select(col("cell")).dropDuplicates("cell")
+      .select(
+        Gf.s2Token(col("cell")).as(Tables.RegionsIndex),
+        Gf.s2Boundary(col("cell")).as(Tables.Geometry))
+  }
+}
+
+/** Slippy-map tiling (reference: srai/regionalizers/slippy_map_regionalizer.py:40-127).
+  * region_id = "{x}_{y}_{z}"; extra x, y, z columns kept like the reference. */
+class SlippyMapRegionalizer(zoom: Int) extends Regionalizer {
+  graft.core.Slippy.checkZoom(zoom)
+
+  override def transform(areas: DataFrame): DataFrame = {
+    validate(areas)
+    parts(areas)
+      .select(explode(Gf.slippyCover(col("part"), zoom)).as("t"))
+      .select(col("t.x").as("x"), col("t.y").as("y"))
+      .dropDuplicates("x", "y")
+      .select(
+        concat_ws("_", col("x"), col("y"), lit(zoom)).as(Tables.RegionsIndex),
+        col("x"), col("y"), lit(zoom).as("z"),
+        Gf.slippyBoundary(col("x"), col("y"), zoom).as(Tables.Geometry))
+  }
+}

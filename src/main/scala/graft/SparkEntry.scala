@@ -1,13 +1,204 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Gf
+import graft.operators._
+import graft.sources.DerivedGeo
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), with a DuckDB-runnable oracle where the semantics are
+  * ANSI-SQL-expressible. Column names/types are aligned pairwise with the
+  * oracle SQL (the driver hash-compares after sorting columns by name).
+  *
+  * Float-sum parity rule: every floating aggregate is summed exactly as
+  * decimal(18,4|6) and only then cast to double, so partial-aggregation
+  * order can never change the result on either engine.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def prep(s: SparkSession): SparkSession = { Gf.register(s); s }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: cell-indexed spatial join (points-in-rect-regions) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q06_spatial_join")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational spine ---
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(prep(s), dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_segment_sales" -> ((s, dir) => {
+      t(prep(s), dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_price"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q03_top_orders_per_segment" -> ((s, dir) => {
+      val joined = t(prep(s), dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      joined.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_mktsegment"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
+    // --- CountEmbedder (A1) over nation⊳customer as regions⊳features ---
+    "q04_count_embedder" -> ((s, dir) => {
+      val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val regions = t(prep(s), dir, "nation")
+        .select(col("n_nationkey").cast("string").as(Tables.RegionsIndex))
+      val customers = t(s, dir, "customer")
+      val features = customers.select(
+        col("c_custkey").cast("string").as(Tables.FeaturesIndex),
+        col("c_mktsegment"))
+      val joint = customers.select(
+        col("c_nationkey").cast("string").as(Tables.RegionsIndex),
+        col("c_custkey").cast("string").as(Tables.FeaturesIndex))
+      new CountEmbedder(segments.map("c_mktsegment_" + _), countSubcategories = true)
+        .transform(regions, features, joint)
+        .orderBy(Tables.RegionsIndex)
+    }),
+
+    // --- tile assignment (R3/J4): slippy z9 counts, pure column math ---
+    "q05_tile_assign" -> ((s, dir) => {
+      DerivedGeo.points(prep(s), dir)
+        .select(concat_ws("_",
+          DerivedGeo.tileX(col("lng"), 9).cast("string"),
+          DerivedGeo.tileY(col("lat"), 9).cast("string"),
+          lit("9")).as("tile_id"))
+        .groupBy("tile_id").agg(count(lit(1)).as("n"))
+        .orderBy("tile_id")
+    }),
+
+    // --- flagship spatial join (J1): broadcast cell join + JTS refine ---
+    "q06_spatial_join" -> ((s, dir) => {
+      val joint = new IntersectionJoiner(cellLevel = 6, pointFeatures = true,
+        broadcastRegions = Some(true))
+        .transform(DerivedGeo.rectRegions(prep(s), dir),
+          DerivedGeo.pointFeatures(s, dir))
+      joint.groupBy(Tables.RegionsIndex).agg(count(lit(1)).as("n_points"))
+        .orderBy(Tables.RegionsIndex)
+    }),
+
+    // --- S2 point assignment (R2/J4) — no SQL oracle (cell math), rows-only ---
+    "q07_s2_assign" -> ((s, dir) => {
+      DerivedGeo.points(prep(s), dir)
+        .select(Gf.s2Token(Gf.s2Cell(col("lng"), col("lat"), 8)).as(Tables.RegionsIndex))
+        .groupBy(Tables.RegionsIndex).agg(count(lit(1)).as("n"))
+        .orderBy(Tables.RegionsIndex)
+    }),
+
+    // --- event-stream batch analytics ---
+    "q08_events_hourly" -> ((s, dir) => {
+      t(prep(s), dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy("event_type", "hour")
+    }),
+
+    "q09_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(prep(s), dir, "events")
+        .withColumn("prev_ms", lag(unix_millis(col("ts").cast("timestamp")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts").cast("timestamp")) - col("prev_ms") > 1800000L, 1).otherwise(0))
+        .withColumn("session_seq",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_seq")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_segment_sales" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q03_top_orders_per_segment" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) x
+        |WHERE rn <= 3 ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q04_count_embedder" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS region_id,
+        |  CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END), 0) AS INT) AS c_mktsegment_AUTOMOBILE,
+        |  CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END), 0) AS INT) AS c_mktsegment_BUILDING,
+        |  CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END), 0) AS INT) AS c_mktsegment_FURNITURE,
+        |  CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END), 0) AS INT) AS c_mktsegment_HOUSEHOLD,
+        |  CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END), 0) AS INT) AS c_mktsegment_MACHINERY
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_nationkey ORDER BY region_id""".stripMargin,
+
+    "q05_tile_assign" -> {
+      val x = DerivedGeo.tileXSql("lng", 9)
+      val y = DerivedGeo.tileYSql("lat", 9)
+      s"""WITH p AS (${DerivedGeo.pointsSql})
+         |SELECT CONCAT_WS('_', CAST($x AS VARCHAR), CAST($y AS VARCHAR), '9') AS tile_id,
+         |       COUNT(*) AS n
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q06_spatial_join" ->
+      s"""WITH p AS (${DerivedGeo.pointsSql}), r AS (${DerivedGeo.rectsSql})
+         |SELECT r.region_id, COUNT(*) AS n_points
+         |FROM p JOIN r ON p.lng >= r.xmin AND p.lng <= r.xmax
+         |              AND p.lat >= r.ymin AND p.lat <= r.ymax
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q08_events_hourly" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q09_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM e)
+        |SELECT user_id, session_seq, MIN(ts) AS session_start, COUNT(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

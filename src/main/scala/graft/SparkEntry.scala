@@ -107,6 +107,45 @@ object SparkEntry {
         .orderBy(Tables.RegionsIndex)
     }),
 
+    // --- image pipeline (graft payload): synth → decode/hash → tile ---
+    "q10_image_tile_counts" -> ((s, dir) => {
+      val k = graft.sources.Images.key(col("image_id"))
+      graft.sources.Images.forTestdata(prep(s), dir).toDF
+        .select(concat_ws("_",
+          DerivedGeo.tileX(graft.sources.Images.lng(k), 8).cast("string"),
+          DerivedGeo.tileY(graft.sources.Images.lat(k), 8).cast("string"),
+          lit("8")).as("tile_id"))
+        .groupBy("tile_id").agg(count(lit(1)).as("n"))
+        .orderBy("tile_id")
+    }),
+
+    "q11_image_footprint_join" -> ((s, dir) => {
+      val images = graft.sources.Images.withFootprint(
+        graft.sources.Images.forTestdata(prep(s), dir).toDF, halfExtent = 0.02)
+        .select(col("image_id").as(Tables.FeaturesIndex), col(Tables.Geometry))
+      val joint = new IntersectionJoiner(cellLevel = 6, broadcastRegions = Some(true))
+        .transform(DerivedGeo.rectRegions(s, dir), images)
+      joint.groupBy(Tables.RegionsIndex).agg(count(lit(1)).as("n_images"))
+        .orderBy(Tables.RegionsIndex)
+    }),
+
+    // patch grid (raster↔vector tiling) — cell ids not SQL-expressible;
+    // rows-only here, exact-grid properties covered in ImagePipelineSpec
+    "q12_patch_grid" -> ((s, dir) => {
+      val images = graft.sources.Images.withFootprint(
+        graft.sources.Images.forTestdata(prep(s), dir).limit(500).toDF)
+      operators.Tiling.patchGrid(images, 10, 12)
+        .orderBy("image_id", "pos")
+    }),
+
+    "q13_image_exact_dedup" -> ((s, dir) => {
+      graft.sources.Images.forTestdata(prep(s), dir).toDF
+        .groupBy(md5(col("bytes")).as("content_hash"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+        .orderBy("group_size")
+    }),
+
     // --- event-stream batch analytics ---
     "q08_events_hourly" -> ((s, dir) => {
       t(prep(s), dir, "events")
@@ -179,6 +218,35 @@ object SparkEntry {
          |FROM p JOIN r ON p.lng >= r.xmin AND p.lng <= r.xmax
          |              AND p.lat >= r.ymin AND p.lat <= r.ymax
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_image_tile_counts" -> {
+      val k = "k"
+      val x = DerivedGeo.tileXSql(graft.sources.Images.lngSql(k), 8)
+      val y = DerivedGeo.tileYSql(graft.sources.Images.latSql(k), 8)
+      s"""WITH keys AS (${graft.sources.Images.keysSql})
+         |SELECT CONCAT_WS('_', CAST($x AS VARCHAR), CAST($y AS VARCHAR), '8') AS tile_id,
+         |       COUNT(*) AS n
+         |FROM keys GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q11_image_footprint_join" -> {
+      val lng = graft.sources.Images.lngSql("k")
+      val lat = graft.sources.Images.latSql("k")
+      s"""WITH keys AS (${graft.sources.Images.keysSql}),
+         |  img AS (SELECT k, $lng AS lng, $lat AS lat FROM keys),
+         |  r AS (${DerivedGeo.rectsSql})
+         |SELECT r.region_id, COUNT(*) AS n_images
+         |FROM img JOIN r ON img.lng - 0.02 <= r.xmax AND img.lng + 0.02 >= r.xmin
+         |               AND img.lat - 0.02 <= r.ymax AND img.lat + 0.02 >= r.ymin
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q13_image_exact_dedup" ->
+      s"""WITH keys AS (${graft.sources.Images.keysSql}),
+         |  groups AS (SELECT k % 512 AS pat, COUNT(*) AS group_size
+         |             FROM keys GROUP BY 1)
+         |SELECT group_size, COUNT(*) AS n_groups
+         |FROM groups GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q08_events_hourly" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour,

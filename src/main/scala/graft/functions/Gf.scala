@@ -26,6 +26,8 @@ object Gf {
     "st_point" -> (e => StPoint(e(0), e(1))),
     "st_area" -> (e => StArea(e(0))),
     "st_centroid_x" -> (e => StCentroidX(e(0))),
+    "st_xmin" -> (e => StXMin(e(0))),
+    "st_ymax" -> (e => StYMax(e(0))),
     "st_centroid_y" -> (e => StCentroidY(e(0))),
     "st_dump" -> (e => StDump(e(0))),
     "s2_cell" -> (e => S2CellId(e(0), e(1), e(2))),
@@ -36,7 +38,13 @@ object Gf {
     "s2_boundary" -> (e => S2Boundary(e(0))),
     "s2_parent" -> (e => S2Parent(e(0), e(1))),
     "slippy_cover" -> (e => SlippyCover(e(0), e(1))),
-    "slippy_boundary" -> (e => SlippyBoundary(e(0), e(1), e(2))))
+    "slippy_boundary" -> (e => SlippyBoundary(e(0), e(1), e(2))),
+    "img_psnr" -> (e => ImgPsnr(e(0), e(1))),
+    "img_phash" -> (e => ImgPhash(e(0))),
+    "img_width" -> (e => ImgWidth(e(0))),
+    "img_height" -> (e => ImgHeight(e(0))),
+    "img_reencode" -> (e => ImgReencode(e(0), e(1))),
+    "hamming64" -> (e => Hamming64(e(0), e(1))))
 
   /** SparkSessionExtensions hook (used by graft.GraftExtensions). */
   def inject(ext: SparkSessionExtensions): Unit = defs.foreach { case (name, builder) =>
@@ -63,6 +71,8 @@ object Gf {
     call_function("st_point", lng.cast("double"), lat.cast("double"))
   def stArea(a: Column): Column = call_function("st_area", a)
   def stCentroidX(a: Column): Column = call_function("st_centroid_x", a)
+  def stXMin(a: Column): Column = call_function("st_xmin", a)
+  def stYMax(a: Column): Column = call_function("st_ymax", a)
   def stCentroidY(a: Column): Column = call_function("st_centroid_y", a)
   def stDump(a: Column): Column = call_function("st_dump", a)
 
@@ -80,6 +90,13 @@ object Gf {
     call_function("slippy_cover", geom, lit(zoom))
   def slippyBoundary(x: Column, y: Column, zoom: Int): Column =
     call_function("slippy_boundary", x.cast("int"), y.cast("int"), lit(zoom))
+
+  def imgPsnr(a: Column, b: Column): Column = call_function("img_psnr", a, b)
+  def imgPhash(a: Column): Column = call_function("img_phash", a)
+  def imgWidth(a: Column): Column = call_function("img_width", a)
+  def imgHeight(a: Column): Column = call_function("img_height", a)
+  def imgReencode(a: Column, fmt: Column): Column = call_function("img_reencode", a, fmt)
+  def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
 
   /** Slippy tile (x, y) for a point — pure built-in column math, fully
     * codegen'd, zero custom code in the hot path (reference math:

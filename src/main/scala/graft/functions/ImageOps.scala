@@ -1,0 +1,164 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.stream.MemoryCacheImageOutputStream
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/** Image kernels over the JDK's real PNG/JPEG codecs (javax.imageio — no
+  * external libs, works headless). Images travel as opaque `binary` columns
+  * (BASELINE.json input_hint); these kernels decode / re-encode / hash them
+  * executor-side.
+  *
+  * Reference behavior grafted: srai handles images as PIL blobs per slippy
+  * tile (srai/loaders/osm_loaders/osm_tile_loader.py:97-138) and as raster
+  * tensors (geovex/dataset.py:137-167); the per-row invariant here is the
+  * decoded-pixel PSNR ≥ 40 dB for lossy formats + caption byte-equality. */
+object ImageOps {
+
+  /** Deterministic smooth RGB pattern for a pattern key — smooth gradients
+    * survive JPEG at high quality (PSNR >> 40 dB). Pure function of
+    * (pattern, w, h): equal patterns ⇒ byte-identical images. */
+  def synthPixels(pattern: Long, w: Int, h: Int): Array[Int] = {
+    val px = new Array[Int](w * h)
+    val p0 = ((pattern * 2654435761L) >>> 8) % 251
+    val p1 = ((pattern * 40503L) >>> 4) % 241
+    val p2 = (pattern * 97L) % 11 + 2
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val fx = x.toDouble / w; val fy = y.toDouble / h
+        val r = (127.5 + 127.5 * math.sin(2 * math.Pi * (fx * p2 / 4.0 + p0 / 251.0))).toInt
+        val g = (127.5 + 127.5 * math.sin(2 * math.Pi * (fy * p2 / 4.0 + p1 / 241.0))).toInt
+        val b = (127.5 + 127.5 * math.sin(2 * math.Pi * ((fx + fy) / 2.0 + (p0 + p1) / 128.0))).toInt
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** Collapse to r=g=b luma. Lossy rows are stored grayscale: the JDK JPEG
+    * writer always 4:2:0-subsamples chroma, which caps saturated-color PSNR
+    * near 34 dB no matter the quality; constant chroma removes that error
+    * source entirely, keeping the ≥40 dB invariant achievable. */
+  def toGray(px: Array[Int]): Array[Int] = {
+    val out = new Array[Int](px.length)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val y = (0.299 * ((p >> 16) & 255) + 0.587 * ((p >> 8) & 255) +
+        0.114 * (p & 255)).round.toInt
+      out(i) = (y << 16) | (y << 8) | y
+      i += 1
+    }
+    out
+  }
+
+  def toBufferedImage(px: Array[Int], w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    img
+  }
+
+  def encode(px: Array[Int], w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = toBufferedImage(px, w, h)
+    val bos = new ByteArrayOutputStream()
+    fmt match {
+      case "png" => ImageIO.write(img, "png", bos)
+      case "jpeg" =>
+        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        // 0.98: smooth synthetic gradients stay comfortably above the 40 dB
+        // PSNR invariant (0.95 measured 39.6 dB on the sharpest pattern)
+        param.setCompressionQuality(0.98f)
+        val out = new MemoryCacheImageOutputStream(bos)
+        writer.setOutput(out)
+        writer.write(null, new IIOImage(img, null, null), param)
+        out.flush(); writer.dispose()
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    bos.toByteArray
+  }
+
+  /** Decode to packed RGB ints (row-major). */
+  def decodeRgb(bytes: Array[Byte]): Array[Int] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image bytes")
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Int](w * h)
+    img.getRGB(0, 0, w, h, px, 0, w)
+    var i = 0
+    while (i < px.length) { px(i) = px(i) & 0xffffff; i += 1 }
+    px
+  }
+
+  def width(bytes: Array[Byte]): Int =
+    ImageIO.read(new ByteArrayInputStream(bytes)).getWidth
+  def height(bytes: Array[Byte]): Int =
+    ImageIO.read(new ByteArrayInputStream(bytes)).getHeight
+
+  /** PSNR (dB) between two decoded images over RGB channels; identical
+    * pixels → capped at 99.0 (srai-style allclose ⇒ "infinite"). */
+  def psnr(a: Array[Byte], b: Array[Byte]): Double = {
+    val pa = decodeRgb(a); val pb = decodeRgb(b)
+    require(pa.length == pb.length, "image size mismatch")
+    var se = 0.0
+    var i = 0
+    while (i < pa.length) {
+      val x = pa(i); val y = pb(i)
+      val dr = ((x >> 16) & 255) - ((y >> 16) & 255)
+      val dg = ((x >> 8) & 255) - ((y >> 8) & 255)
+      val db = (x & 255) - (y & 255)
+      se += dr * dr + dg * dg + db * db
+      i += 1
+    }
+    val mse = se / (pa.length * 3.0)
+    if (mse == 0.0) 99.0
+    else math.min(99.0, 10.0 * math.log10(255.0 * 255.0 / mse))
+  }
+
+  /** 64-bit average perceptual hash: grayscale → 8×8 area mean → bit per
+    * cell above global mean (public aHash scheme). */
+  def phash(bytes: Array[Byte]): Long = phashOfPixels(decodeRgb(bytes),
+    width(bytes), height(bytes))
+
+  def phashOfPixels(px: Array[Int], w: Int, h: Int): Long = {
+    val grid = new Array[Double](64)
+    val cnt = new Array[Int](64)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(7, x * 8 / w)
+        val p = px(y * w + x)
+        val gray = 0.299 * ((p >> 16) & 255) + 0.587 * ((p >> 8) & 255) + 0.114 * (p & 255)
+        grid(gy * 8 + gx) += gray
+        cnt(gy * 8 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    var mean = 0.0
+    while (i < 64) { grid(i) /= math.max(1, cnt(i)); mean += grid(i); i += 1 }
+    mean /= 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (grid(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Re-encode decoded pixels in another format (tile-sink path, L6/L7). */
+  def reencode(bytes: Array[Byte], fmt: String): Array[Byte] = {
+    val w = width(bytes); val h = height(bytes)
+    encode(decodeRgb(bytes), w, h, fmt)
+  }
+}

@@ -119,6 +119,26 @@ case class StArea(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** Envelope corner accessors (patch lexsort P12: orderBy(desc(st_ymax),
+  * asc(st_xmin)) — reference s2vec/s2_utils.py:60-72). */
+case class StXMin(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "st_xmin"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = GeoOps.envelope(v.asInstanceOf[Array[Byte]])(0)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$G.envelope($v)[0]")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StYMax(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "st_ymax"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = GeoOps.envelope(v.asInstanceOf[Array[Byte]])(3)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$G.envelope($v)[3]")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 case class StCentroidX(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_centroid_x"
   override def dataType: DataType = DoubleType

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Gf
+
+/** Raster↔vector tiling: assign images to covering cells and expand images
+  * into patch grids (the S2Vec pipeline core, reference:
+  * srai/embedders/s2vec/s2_utils.py:75-106 + embedder.py:211-241).
+  *
+  * All operators are generator-expression shaped (explode of a per-row cell
+  * array) — embarrassingly parallel, no shuffle until the caller aggregates.
+  */
+object Tiling {
+
+  /** (image_id, region_id) for every S2 cell of `level` covering the image
+    * footprint (polygon path; for pure geotags use s2_cell directly). */
+  def assignCells(imagesWithGeom: DataFrame, level: Int): DataFrame =
+    imagesWithGeom.select(
+      col("image_id"),
+      explode(Gf.s2Cover(col(Tables.Geometry), level)).as("cell"))
+      .select(col("image_id"), Gf.s2Token(col("cell")).as(Tables.RegionsIndex))
+
+  /** Patch grid: each image's anchor cell at `imgLevel` expands to its
+    * children at `patchLevel`; `pos` is the reference's top-left →
+    * bottom-right lexsort (desc ymax, asc xmin — s2_utils.py:60-72), plus
+    * (pos_row, pos_col) in the 2^(patchLevel-imgLevel) square. */
+  def patchGrid(imagesWithGeotag: DataFrame, imgLevel: Int, patchLevel: Int): DataFrame = {
+    require(patchLevel > imgLevel, "patchLevel must exceed imgLevel")
+    val side = 1 << (patchLevel - imgLevel)
+    val withCell = imagesWithGeotag.withColumn("img_cell",
+      Gf.s2Cell(col("lng"), col("lat"), imgLevel))
+    val patches = withCell.select(
+      col("image_id"), col("img_cell"),
+      explode(Gf.s2Children(col("img_cell"), patchLevel)).as("patch"))
+      .withColumn("pgeom", Gf.s2Boundary(col("patch")))
+    val w = Window.partitionBy("image_id")
+      .orderBy(Gf.stYMax(col("pgeom")).desc, Gf.stXMin(col("pgeom")).asc)
+    patches
+      .withColumn("pos", row_number().over(w) - 1)
+      .select(
+        col("image_id"),
+        Gf.s2Token(col("img_cell")).as("img_region_id"),
+        Gf.s2Token(col("patch")).as("patch_id"),
+        col("pos"),
+        (col("pos") / side).cast("int").as("pos_row"),
+        pmod(col("pos"), lit(side)).cast("int").as("pos_col"))
+  }
+
+  /** Regroup patch rows back to one ordered array per image
+    * (reference: S2VecDataset regrouping, embedder.py §3.2 step 3). */
+  def regroup(patchRows: DataFrame, valueCol: String): DataFrame =
+    patchRows
+      .groupBy("image_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col(valueCol).as("v"))))
+        .as("patch_values"))
+      .select(col("image_id"), col("patch_values.v").as("patch_values"))
+}

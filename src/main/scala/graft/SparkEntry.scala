@@ -156,6 +156,92 @@ object SparkEntry {
         .orderBy("event_type", "hour")
     }),
 
+    // --- text analysis (training-data pipeline) ---
+    "q14_token_stats" -> ((s, dir) => {
+      t(prep(s), dir, "documents").select(
+        col("doc_id"),
+        TextOps.nTokens(col("text")).as("n_tokens"),
+        TextOps.nDistinctTokens(col("text")).as("n_distinct"))
+        .orderBy("doc_id")
+    }),
+
+    "q15_quality_score" -> ((s, dir) => {
+      val docs = t(prep(s), dir, "documents")
+      val len = length(col("text"))
+      docs.select(
+        col("doc_id"),
+        TextOps.nTokens(col("text")).as("n_tokens"),
+        (TextOps.stopwordCount(col("text")) / len).as("stop_ratio"),
+        (TextOps.punctCount(col("text")) / len).as("punct_ratio"),
+        (TextOps.digitCount(col("text")) / len).as("digit_ratio"))
+        .withColumn("quality",
+          (col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
+            col("stop_ratio") >= 0.005).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    "q16_langid" -> ((s, dir) => {
+      t(prep(s), dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // --- dedup suite over a corpus with planted duplicates ---
+    "q17_exact_dedup" -> ((s, dir) => {
+      val docs = t(prep(s), dir, "documents")
+      val aug = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exact(aug, "doc_id", "text").orderBy("content_hash")
+    }),
+
+    "q18_minhash_neardup" -> ((s, dir) => {
+      val docs = t(prep(s), dir, "documents")
+      val aug = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.minhashPairs(aug, "doc_id", "text", threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- embedding similarity ---
+    "q19_embed_neardup" -> ((s, dir) => {
+      val emb = t(prep(s), dir, "embeddings")
+      val aug = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(emb.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      Similarity.cosineNearDupPairs(aug, threshold = 0.999)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q20_ann_topk" -> ((s, dir) => {
+      val emb = t(prep(s), dir, "embeddings")
+      val queries = emb.where(col("vec_id").isin(1L, 2L, 3L))
+      Similarity.bruteForceTopK(emb, queries, 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN — approximate by design: rows-only for the driver,
+    // recall vs brute force asserted in TextSimilaritySpec
+    "q21_ann_lsh" -> ((s, dir) => {
+      val emb = t(prep(s), dir, "embeddings")
+      val queries = emb.where(col("vec_id").isin(1L, 2L, 3L))
+      Similarity.lshTopK(emb, queries, 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q22_simhash_neardup" -> ((s, dir) => {
+      val docs = t(prep(s), dir, "documents")
+      val aug = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.simhashPairs(aug, "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q09_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(prep(s), dir, "events")
@@ -247,6 +333,80 @@ object SparkEntry {
          |             FROM keys GROUP BY 1)
          |SELECT group_size, COUNT(*) AS n_groups
          |FROM groups GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_token_stats" ->
+      s"""SELECT doc_id, ${TextOps.nTokensSql("text")} AS n_tokens,
+         |       ${TextOps.nDistinctTokensSql("text")} AS n_distinct
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q15_quality_score" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    ${TextOps.nTokensSql("text")} AS n_tokens,
+         |    ${TextOps.stopwordCountSql("text")} / length(text) AS stop_ratio,
+         |    ${TextOps.punctCountSql("text")} / length(text) AS punct_ratio,
+         |    ${TextOps.digitCountSql("text")} / length(text) AS digit_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, stop_ratio, punct_ratio, digit_ratio,
+         |  CAST((n_tokens >= 20 AND n_tokens <= 1000 AND stop_ratio >= 0.005) AS INT) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q16_langid" ->
+      s"""SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_exact_dedup" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+         |SELECT ${TextOps.fingerprintSql("text")} AS content_hash,
+         |       COUNT(*) AS group_size, MIN(doc_id) AS keep_id
+         |FROM aug GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // true-answer oracle: exact 3-gram jaccard via a shingle inverted-index
+    // join (the documents table itself contains driver-planted near-dups).
+    // At threshold 0.9 the 16x4 LSH banding has miss probability < 1e-7, so
+    // candidate recall is effectively exact; verification is exact on both
+    // sides, making the outputs identical.
+    "q18_minhash_neardup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_extract_all(text, '\S+')
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |            FOR i IN generate_series(1, len(t)-2)] END) AS s
+        |  FROM docs),
+        |ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c,
+        |         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, c / (na + nb - c) AS jaccard
+        |FROM pairs WHERE c / (na + nb - c) >= 0.9 ORDER BY 1, 2""".stripMargin,
+
+    "q19_embed_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+        |FROM embeddings WHERE vec_id % 5 = 0 ORDER BY 1, 2""".stripMargin,
+
+    "q20_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (1, 2, 3)),
+        |  c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |          list_cosine_similarity(e.v, q.qv) AS cos
+        |        FROM e, q WHERE e.vec_id <> q.query_id),
+        |  r AS (SELECT query_id, neighbor_id, cos,
+        |          ROW_NUMBER() OVER (PARTITION BY query_id
+        |            ORDER BY cos DESC, neighbor_id ASC) AS rn
+        |        FROM c)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
 
     "q08_events_hourly" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour,

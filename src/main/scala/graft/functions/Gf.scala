@@ -44,7 +44,11 @@ object Gf {
     "img_width" -> (e => ImgWidth(e(0))),
     "img_height" -> (e => ImgHeight(e(0))),
     "img_reencode" -> (e => ImgReencode(e(0), e(1))),
-    "hamming64" -> (e => Hamming64(e(0), e(1))))
+    "hamming64" -> (e => Hamming64(e(0), e(1))),
+    "vec_cosine" -> (e => VecCosine(e(0), e(1))),
+    "simhash64" -> (e => SimHash64(e(0))),
+    "minhash_sig" -> (e => MinhashSig(e(0), e(1))),
+    "hyperplane_sig" -> (e => HyperplaneSig(e(0), e(1), e(2))))
 
   /** SparkSessionExtensions hook (used by graft.GraftExtensions). */
   def inject(ext: SparkSessionExtensions): Unit = defs.foreach { case (name, builder) =>
@@ -97,6 +101,12 @@ object Gf {
   def imgHeight(a: Column): Column = call_function("img_height", a)
   def imgReencode(a: Column, fmt: Column): Column = call_function("img_reencode", a, fmt)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
+  def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    call_function("minhash_sig", shingles, lit(numHashes))
+  def hyperplaneSig(v: Column, planes: Int, seed: Long): Column =
+    call_function("hyperplane_sig", v, lit(planes), lit(seed))
 
   /** Slippy tile (x, y) for a point — pure built-in column math, fully
     * codegen'd, zero custom code in the hot path (reference math:

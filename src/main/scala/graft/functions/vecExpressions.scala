@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+private object vkernel { final val V = "graft.functions.VecTextOps" }
+import vkernel.V
+
+/** vec_cosine(array<float>, array<float>) → double. */
+case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_cosine"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecTextOps.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$V.cosineFF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** simhash64(array<string>) → long. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VecTextOps.simhash64(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$V.simhash64($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** minhash_sig(array<string>, num_hashes) → array<long>. */
+case class MinhashSig(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(sh: Any, n: Any): Any =
+    VecTextOps.minhashSig(sh.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$V.minhashSig($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** hyperplane_sig(array<float>, planes, seed) → long (cosine-LSH bucket). */
+case class HyperplaneSig(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "hyperplane_sig"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any, p: Any, s: Any): Any =
+    VecTextOps.hyperplaneSig(v.asInstanceOf[ArrayData], p.asInstanceOf[Int],
+      s.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"$V.hyperplaneSig($a, $b, $c)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Gf
+
+/** Document deduplication operators (training-data pipeline core).
+  *
+  * Scale shapes:
+  *  - exact: one hash-aggregate on md5(normalized text) — same plan as any
+  *    high-cardinality groupBy, no special handling needed;
+  *  - MinHash+LSH: signature is a per-row projection; banding explodes each
+  *    row into `bands` small rows; candidate generation is a self-join on
+  *    (band, band_hash) — only rows sharing a bucket meet, so the join is
+  *    linear in bucket sizes, never all-pairs. Exact Jaccard verification
+  *    happens only on candidates;
+  *  - SimHash: same banding trick over 4×16-bit chunks of the 64-bit hash
+  *    (two near-dup hashes with hamming ≤ 3 share ≥ 1 exact chunk).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text hash: (content_hash,
+    * group_size, keep_id = min id). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keep_id"))
+
+  /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold; id_a < id_b.
+    *
+    * With `numHashes = bands * rowsPerBand`, a pair with Jaccard j collides
+    * in ≥1 band with prob 1-(1-j^r)^b — at 64/16×4 the curve passes 0.5 near
+    * j≈0.5 and is ≈1 above j≈0.8. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val withShingles = df.select(
+      col(idCol).as("id"),
+      TextOps.shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", Gf.minhashSig(col("sh"), numHashes))
+    // band rows: (id, band, band_hash)
+    val banded = withShingles.select(
+      col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit token-vote hash, 4×16-bit band
+    * blocking, hamming ≤ maxHamming verification. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+      Gf.simhash64(TextOps.tokens(col(textCol))).as("sh"))
+    val chunks = array((0 until 4).map(b => struct(
+      lit(b).as("band"),
+      shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)
+    val banded = hashed.select(col("id"), col("sh"), explode(chunks).as("bc"))
+      .select(col("id"), col("sh"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", Gf.hamming64(col("sh_a"), col("sh_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity, TextOps}
+
+class TextSimilaritySpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("minhash finds planted tail-mutated near-dups (0.9 < j < 1)") {
+    // append a 2-token tail: jaccard = n/(n+2) — above 0.9 for docs with
+    // >= 19 shingles, i.e. >= 21 tokens
+    val mutated = docs.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" tailmarker endtoken")).as("text"))
+    val aug = docs.select(col("doc_id"), col("text")).unionAll(mutated)
+    val pairs = Dedup.minhashPairs(aug, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = docs.where(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").collect()
+      .filter(r => r.getString(1).split("\\s+").length >= 25) // safely above j=0.9
+      .map(r => (r.getLong(0), r.getLong(0) + 500000L)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val missed = planted -- found
+    assert(missed.isEmpty, s"missed ${missed.size} planted near-dup pairs: ${missed.take(5)}")
+    // every reported pair is exactly verified >= 0.9 by construction
+    assert(pairs.forall(_._3 >= 0.9))
+  }
+
+  test("simhash pairs include all exact duplicates and only verified-near pairs") {
+    val dups = docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val aug = docs.select(col("doc_id"), col("text")).unionAll(dups)
+    val pairs = Dedup.simhashPairs(aug, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = docs.where(col("doc_id") % 5 === 0).select("doc_id").as[Long]
+      .collect().map(k => (k, k + 500000L)).toSet
+    assert(planted.subsetOf(pairs.map(p => (p._1, p._2)).toSet))
+    assert(pairs.forall(_._3 <= 3))
+    // exact dups have hamming 0
+    assert(pairs.filter(p => planted contains ((p._1, p._2))).forall(_._3 === 0))
+  }
+
+  test("LSH ANN recall vs brute force >= 0.5 at k=10, and cosines are exact") {
+    val queries = emb.where(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, 10, planes = 3, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+  }
+
+  test("hyperplane signature is scale-invariant (identical directions collide)") {
+    val sig = emb.select(col("vec_id"),
+      graft.functions.Gf.hyperplaneSig(col("embedding"), 16, 42L).as("s1"),
+      graft.functions.Gf.hyperplaneSig(
+        transform(col("embedding"), x => x * lit(3.0f)), 16, 42L).as("s2"))
+    assert(sig.where(col("s1") =!= col("s2")).count() === 0)
+  }
+
+  test("langid: english stopword text classifies en; unknown text is und") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house is to be found in the garden"),
+      (2L, "xyzzy qwerty plugh")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "und")
+  }
+}

@@ -63,24 +63,35 @@ object ImageOps {
     img
   }
 
+  // Writer lookup + instantiation dominates encode cost for small images —
+  // reuse per executor thread (javax.imageio writers are single-threaded but
+  // reusable across writes).
+  private val pngWriter = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+    ImageIO.getImageWritersByFormatName("png").next())
+  private val jpegWriter = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+    ImageIO.getImageWritersByFormatName("jpeg").next())
+
   def encode(px: Array[Int], w: Int, h: Int, fmt: String): Array[Byte] = {
     val img = toBufferedImage(px, w, h)
     val bos = new ByteArrayOutputStream()
+    val out = new MemoryCacheImageOutputStream(bos)
     fmt match {
-      case "png" => ImageIO.write(img, "png", bos)
+      case "png" =>
+        val wr = pngWriter.get()
+        wr.setOutput(out)
+        wr.write(img)
       case "jpeg" =>
-        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
-        val param = writer.getDefaultWriteParam
+        val wr = jpegWriter.get()
+        val param = wr.getDefaultWriteParam
         param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
         // 0.98: smooth synthetic gradients stay comfortably above the 40 dB
         // PSNR invariant (0.95 measured 39.6 dB on the sharpest pattern)
         param.setCompressionQuality(0.98f)
-        val out = new MemoryCacheImageOutputStream(bos)
-        writer.setOutput(out)
-        writer.write(null, new IIOImage(img, null, null), param)
-        out.flush(); writer.dispose()
+        wr.setOutput(out)
+        wr.write(null, new IIOImage(img, null, null), param)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
+    out.flush()
     bos.toByteArray
   }
 

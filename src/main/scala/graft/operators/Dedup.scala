@@ -19,6 +19,15 @@ import graft.functions.Gf
   */
 object Dedup {
 
+  /** The signature computation is the expensive projection; a small
+    * single-file input would otherwise run it in one task. Only widens —
+    * never shrinks an already-parallel input (at real scale file splits
+    * provide the parallelism and this is a no-op). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact duplicate groups by normalized-text hash: (content_hash,
     * group_size, keep_id = min id). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -37,7 +46,7 @@ object Dedup {
                    threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withShingles = df.select(
+    val withShingles = spread(df).select(
       col(idCol).as("id"),
       TextOps.shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", Gf.minhashSig(col("sh"), numHashes))
@@ -65,7 +74,7 @@ object Dedup {
     * blocking, hamming ≤ maxHamming verification. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
+    val hashed = spread(df).select(col(idCol).as("id"),
       Gf.simhash64(TextOps.tokens(col(textCol))).as("sh"))
     val chunks = array((0 until 4).map(b => struct(
       lit(b).as("band"),

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Gf
+
+/** Neighbourhood operators as edge DataFrames (reference:
+  * srai/neighbourhoods/_base.py — a neighbourhood is `index → Set[index]`
+  * with hop-count distance; here it is an edge table reused across queries,
+  * the distributed analogue of the reference's memoized lookup dict
+  * (adjacency_neighbourhood.py:70-76 → `cache()` the edges).
+  */
+object Neighbourhoods {
+
+  /** Adjacency edges: neighbours share any boundary point — `touches`
+    * (reference: adjacency_neighbourhood.py:79-96). Distributed as a
+    * cell-indexed spatial SELF-join: explode region covers, equi-join on
+    * cell, refine `st_touches`, dedup. Output (region_id, neighbour_id),
+    * symmetric. */
+  def adjacencyEdges(regions: DataFrame, cellLevel: Int = 12): DataFrame = {
+    val covered = regions.select(
+      col(Tables.RegionsIndex), col(Tables.Geometry))
+      .withColumn("cell", explode(Gf.s2Cover(col(Tables.Geometry), cellLevel)))
+    val a = covered.select(col("cell"), col(Tables.RegionsIndex).as("region_id"),
+      col(Tables.Geometry).as("g_a"))
+    val b = covered.select(col("cell"), col(Tables.RegionsIndex).as("neighbour_id"),
+      col(Tables.Geometry).as("g_b"))
+    a.join(b, Seq("cell"))
+      .where(col("region_id") =!= col("neighbour_id") &&
+        Gf.stTouches(col("g_a"), col("g_b")))
+      .select("region_id", "neighbour_id")
+      .dropDuplicates("region_id", "neighbour_id")
+  }
+
+  /** Hop-distance closure up to `k` over an edge table: (region_id,
+    * neighbour_id, distance) with the MINIMUM hop distance, distances
+    * 1..k, self excluded. BFS = k rounds of frontier⋈edges (Pregel-lite,
+    * reference N5 `_get_neighbours_with_distances` _base.py:118-137);
+    * k is small, the loop runs on the driver, the data never leaves Spark. */
+  def distanceClosure(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = edges.select(col("region_id"), col("neighbour_id")).cache()
+    var result = e.withColumn("distance", lit(1))
+    var frontier = result
+    for (d <- 2 to k) {
+      // extend the frontier one hop; drop anything already reached
+      frontier = frontier.select(col("region_id"), col("neighbour_id").as("mid"))
+        .join(e.select(col("region_id").as("mid"), col("neighbour_id")), Seq("mid"))
+        .where(col("region_id") =!= col("neighbour_id"))
+        .select("region_id", "neighbour_id").distinct()
+        .join(result.select("region_id", "neighbour_id"),
+          Seq("region_id", "neighbour_id"), "left_anti")
+        .withColumn("distance", lit(d))
+      result = result.unionAll(frontier)
+    }
+    result
+  }
+
+  /** srai center-handling semantics (_base.py:139-167): neighbours up to
+    * distance k from `seeds`, include_center adds (seed, seed, 0). */
+  def neighboursUpToDistance(closure: DataFrame, seeds: DataFrame, k: Int,
+                             includeCenter: Boolean): DataFrame = {
+    val base = seeds.select(col(Tables.RegionsIndex).as("region_id"))
+      .join(closure.where(col("distance") <= k), Seq("region_id"))
+    if (includeCenter)
+      base.unionAll(seeds.select(col(Tables.RegionsIndex).as("region_id"),
+        col(Tables.RegionsIndex).as("neighbour_id"), lit(0).as("distance")))
+    else base
+  }
+
+  /** Neighbours at exactly distance k (hollow ring); center only when k=0
+    * and include_center (reference N3/N4 matrix). */
+  def neighboursAtDistance(closure: DataFrame, seeds: DataFrame, k: Int,
+                           includeCenter: Boolean): DataFrame = {
+    if (k == 0) {
+      if (includeCenter)
+        seeds.select(col(Tables.RegionsIndex).as("region_id"),
+          col(Tables.RegionsIndex).as("neighbour_id"), lit(0).as("distance"))
+      else seeds.sparkSession.emptyDataFrame
+        .withColumn("region_id", lit(""))
+        .withColumn("neighbour_id", lit(""))
+        .withColumn("distance", lit(0)).limit(0)
+    } else
+      seeds.select(col(Tables.RegionsIndex).as("region_id"))
+        .join(closure.where(col("distance") === k), Seq("region_id"))
+  }
+}

@@ -65,7 +65,13 @@ object Images {
     * regenerate the same key set from the source tables). */
   def synthesizeKeys(keys: DataFrame, patterns: Int = DefaultPatterns): Dataset[ImageRow] = {
     import keys.sparkSession.implicits._
-    keys.select(col("k").cast("long")).as[Long].mapPartitions(_.map(row(_, patterns)))
+    // The key table is typically one tiny parquet split; without this the
+    // whole encode pipeline would run in ONE task. Shuffling bare longs is
+    // free next to per-row image encoding — always spread across all cores.
+    val slices = keys.sparkSession.sparkContext.defaultParallelism
+    keys.select(col("k").cast("long")).as[Long]
+      .repartition(slices)
+      .mapPartitions(_.map(row(_, patterns)))
   }
 
   /** Standard derived image set for the driver testdata: 4 images per part

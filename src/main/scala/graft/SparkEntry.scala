@@ -242,6 +242,43 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- evaluator metrics (A13) over deterministic pred/label tables ---
+    "q23_eval_metrics" -> ((s, dir) => {
+      val labels = t(prep(s), dir, "customer")
+        .groupBy(col("c_nationkey").cast("string").as(Tables.RegionsIndex))
+        .agg(count(lit(1)).cast("double").as("label"))
+      val preds = labels.select(col(Tables.RegionsIndex),
+        ((col("label") * 11 + 10) / 10.0).as("pred"))
+      Evaluator.regressionMetrics(preds, labels)
+    }),
+
+    // --- GTFS-style hour pivot (A5): wide per-hour counts + set-valued agg ---
+    "q24_hour_pivot" -> ((s, dir) => {
+      val ev = t(prep(s), dir, "events")
+        .withColumn("h", hour(col("ts")))
+      val hourCols = (0 until 24).map(h =>
+        sum(when(col("h") === h, 1).otherwise(0)).cast("long").as(s"trips_at_$h"))
+      val dirCol = concat_ws(",",
+        transform(sort_array(collect_set(pmod(col("user_id"), lit(7)))),
+          x => x.cast("string"))).as("directions")
+      ev.groupBy("event_type")
+        .agg(hourCols.head, (hourCols.tail :+ dirCol): _*)
+        .orderBy("event_type")
+    }),
+
+    // --- quantile bucketing (A8): per-cell counts -> ntile bins ---
+    "q25_quantile_buckets" -> ((s, dir) => {
+      DerivedGeo.points(prep(s), dir)
+        .select(concat_ws("_",
+          DerivedGeo.tileX(col("lng"), 6).cast("string"),
+          DerivedGeo.tileY(col("lat"), 6).cast("string"),
+          lit("6")).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .withColumn("bucket", ntile(4).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("n"), col("cell"))))
+        .orderBy("cell")
+    }),
+
     "q09_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(prep(s), dir, "events")
@@ -407,6 +444,46 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
+
+    "q23_eval_metrics" ->
+      """WITH labels AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS region_id,
+        |         CAST(COUNT(*) AS DOUBLE) AS label
+        |  FROM customer GROUP BY 1),
+        |j AS (SELECT (label * 11 + 10) / 10.0 AS p, label AS y FROM labels),
+        |s AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(30,10))) AS DOUBLE) AS ss_res,
+        |  CAST(SUM(CAST(abs(p - y) AS DECIMAL(30,10))) AS DOUBLE) AS sae,
+        |  CAST(SUM(CAST(CASE WHEN y <> 0 THEN abs((p - y) / y) ELSE 0.0 END AS DECIMAL(30,10))) AS DOUBLE) AS sape,
+        |  CAST(SUM(CAST(CASE WHEN abs(p) + abs(y) <> 0 THEN abs(p - y) / ((abs(p) + abs(y)) / 2) ELSE 0.0 END AS DECIMAL(30,10))) AS DOUBLE) AS ssmape,
+        |  CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy
+        |  FROM j)
+        |SELECT n, ss_res / n AS mse, sqrt(ss_res / n) AS rmse, sae / n AS mae,
+        |  sape / n AS mape, ssmape / n AS smape,
+        |  1.0 - ss_res / (syy - sy * sy / n) AS r2
+        |FROM s""".stripMargin,
+
+    "q24_hour_pivot" -> {
+      val hourCols = (0 until 24).map(h =>
+        s"CAST(SUM(CASE WHEN hour(ts) = $h THEN 1 ELSE 0 END) AS BIGINT) AS trips_at_$h")
+        .mkString(",\n        |  ")
+      s"""SELECT event_type,
+         |  $hourCols,
+         |  array_to_string(list_sort(list(DISTINCT user_id % 7)), ',') AS directions
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q25_quantile_buckets" -> {
+      val x = DerivedGeo.tileXSql("lng", 6)
+      val y = DerivedGeo.tileYSql("lat", 6)
+      s"""WITH p AS (${DerivedGeo.pointsSql}),
+         |c AS (SELECT CONCAT_WS('_', CAST($x AS VARCHAR), CAST($y AS VARCHAR), '6') AS cell,
+         |             COUNT(*) AS n
+         |      FROM p GROUP BY 1)
+         |SELECT cell, n, CAST(NTILE(4) OVER (ORDER BY n, cell) AS INT) AS bucket
+         |FROM c ORDER BY cell""".stripMargin
+    },
 
     "q08_events_hourly" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+class EvaluatorSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("regression metrics match hand-computed values") {
+    val labels = Seq(("a", 2.0), ("b", 4.0), ("c", 6.0))
+      .toDF(Tables.RegionsIndex, "label")
+    val preds = Seq(("a", 3.0), ("b", 4.0), ("c", 5.0), ("d", 99.0))
+      .toDF(Tables.RegionsIndex, "pred")
+    // "d" is skipped by the inner-join alignment (reference :93-101)
+    val m = Evaluator.regressionMetrics(preds, labels).collect()(0)
+    assert(m.getAs[Long]("n") === 3)
+    assert(math.abs(m.getAs[Double]("mse") - 2.0 / 3) < 1e-12)
+    assert(math.abs(m.getAs[Double]("mae") - 2.0 / 3) < 1e-12)
+    assert(math.abs(m.getAs[Double]("rmse") - math.sqrt(2.0 / 3)) < 1e-12)
+    // mape = (1/2 + 0 + 1/6)/3 ; smape = (2/5 + 0 + 2/11)/3
+    assert(math.abs(m.getAs[Double]("mape") - (0.5 + 1.0 / 6) / 3) < 1e-12)
+    assert(math.abs(m.getAs[Double]("smape") - (0.4 + 2.0 / 11) / 3) < 1e-12)
+    // ss_tot = 8, ss_res = 2 → r2 = 0.75
+    assert(math.abs(m.getAs[Double]("r2") - 0.75) < 1e-12)
+  }
+}
+
+class SpatialSplitSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  lazy val points = graft.sources.DerivedGeo.points(spark, "/root/testdata/sf0.001")
+
+  test("split assigns every point, ratios approximately honored, deterministic") {
+    val splitter = new SpatialSplit(parentCellLevel = 4,
+      ratios = Seq("train" -> 0.7, "test" -> 0.3), seed = 7L)
+    val out = splitter.split(points).cache()
+    val total = out.count()
+    assert(out.where(col("split").isNull).count() === 0)
+    val frac = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / total).toMap
+    assert(math.abs(frac("train") - 0.7) < 0.15, s"train frac ${frac("train")}")
+    // spatial coherence: each parent cell maps to exactly one split
+    val multi = out.groupBy("cell").agg(countDistinct("split").as("k"))
+      .where(col("k") > 1)
+    assert(multi.count() === 0)
+    // determinism
+    val out2 = splitter.split(points)
+    assert(out.select("point_id", "split").exceptAll(
+      out2.select("point_id", "split")).count() === 0)
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.streaming.Streams.readEvents(spark, s"$dir/events.parquet")
+    val q = graft.streaming.Streams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hourly_out")
+      .select("hour", "event_type", "n")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+  }
+
+  test("streaming tile assignment produces tiles per window") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.streaming.Streams.readEvents(spark, s"$dir/events.parquet")
+    val q = graft.streaming.Streams.tileCounts(stream, 7)
+      .writeStream.format("memory").queryName("tiles_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("tiles_out")
+    assert(out.count() > 0)
+    assert(out.where(!col("tile_id").rlike("^\\d+_\\d+_7$")).count() === 0)
+  }
+}

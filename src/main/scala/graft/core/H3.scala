@@ -374,7 +374,7 @@ object H3 {
     val azHere = frameAz(face, c)
     val azHome = frameAz(homeFace, IJK(d._2, d._3, d._4))
     // ccw rotations taking this face's frame into the home frame
-    val diff = posAngle(azHere - azHome)
+    val diff = posAngle(azHome - azHere)
     val step = if (d._5) 2 * math.Pi / 5 else math.Pi / 3
     ((diff / step).round.toInt) % (if (d._5) 5 else 6)
   }
@@ -398,7 +398,79 @@ object H3 {
 
   private def faceIjkToBaseCell(face: Int, c: IJK): (Int, Int) = {
     val n = normalize(c)
-    faceIjkBaseCellLookup((face, n.i, n.j, n.k))
+    lookup((face, n.i, n.j, n.k))
+  }
+
+  /** Final lookup: geometric derivation + pentagon-rotation calibration.
+    *
+    * The 72°-sector rotation count for pentagon entries is not reliably
+    * derivable from frame azimuths alone (the deleted-K sector shifts the
+    * digit-space rotation relative to the geometric one), so pentagon
+    * entries are calibrated against the decode path: for every pentagon
+    * descendant at res 2, encode(center(cell)) must return the cell. Decode
+    * (h3ToFaceIjk) only consumes baseCellData + faceNeighbors — never this
+    * lookup — so using it as the calibration oracle is not circular; its own
+    * correctness is pinned by the reference's golden cell ids in H3Spec. */
+  private lazy val lookup: Map[(Int, Int, Int, Int), (Int, Int)] = {
+    val m = scala.collection.mutable.Map(faceIjkBaseCellLookup.toSeq: _*)
+    for (bc <- 0 until 122 if isPentagon(bc)) {
+      val res0 = (1L << ModeOffset) | (bc.toLong << BaseCellOffset) | 0x1FFFFFFFFFFFL
+      // group descendants by the (face, res0-ijk) key their encode path hits
+      val groups = scala.collection.mutable.Map[(Int, Int, Int, Int),
+        scala.collection.mutable.ArrayBuffer[(Long, Int, IJK)]]()
+      for (child <- children(res0, 2)) {
+        val (latD, lngD) = cellToLatLng(child)
+        val lat = math.toRadians(latD); val lng = math.toRadians(lngD)
+        val (face, x, y) = geoToHex2d(lat, lng, 2)
+        var ijk = hex2dToIjk(x, y)
+        var r = 1
+        while (r >= 0) {
+          ijk = if (isClassIII(r + 1)) upAp7(ijk) else upAp7r(ijk)
+          r -= 1
+        }
+        val n = normalize(ijk)
+        if (n.i <= 2 && n.j <= 2 && n.k <= 2) {
+          val key = (face, n.i, n.j, n.k)
+          if (m.get(key).exists(_._1 == bc))
+            groups.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer()) +=
+              ((child, face, hex2dToIjk(x, y)))
+        }
+      }
+      for ((key, members) <- groups) {
+        val works = (0 until 5).filter { rot =>
+          members.forall { case (child, face, ijk) =>
+            encodeWithRotation(face, ijk, 2, bc, rot) == child
+          }
+        }
+        if (works.nonEmpty) m(key) = (bc, works.head)
+      }
+    }
+    m.toMap
+  }
+
+  /** faceIjkToH3 with an explicit base-cell rotation (calibration probe). */
+  private def encodeWithRotation(face: Int, cIn: IJK, res: Int,
+                                 bc: Int, numRots: Int): Long = {
+    var h = init(res)
+    var ijk = cIn
+    var r = res - 1
+    while (r >= 0) {
+      val last = ijk
+      val lastCenter =
+        if (isClassIII(r + 1)) { ijk = upAp7(ijk); downAp7(ijk) }
+        else { ijk = upAp7r(ijk); downAp7r(ijk) }
+      val diff = normalize(last - lastCenter)
+      h = setDigit(h, r + 1, unitIjkToDigit(diff))
+      r -= 1
+    }
+    h = setBaseCell(h, bc)
+    if (leadingNonZeroDigit(h) == 1) {
+      if (isCwOffset(bc, face)) h = rotate60cwIndex(h)
+      else h = rotate60ccwIndex(h)
+    }
+    var i = 0
+    while (i < numRots) { h = rotatePent60ccw(h); i += 1 }
+    h
   }
 
   // ---------------- H3 index bit layout ----------------
@@ -787,22 +859,24 @@ object H3 {
   // ---------------- local IJ ----------------
 
   /** Local (i, j) of `cell` relative to `origin` — srai semantics
-    * (srai/h3.py:164-193: origin-centered, sign-flipped h3 local ij).
-    * Errors on pentagon involvement like the reference. */
+    * (srai/h3.py:164-193: `get_local_ij_index` = origin_ij − cell_ij, i.e.
+    * the sign-flipped h3 cell_to_local_ij). Errors on pentagon involvement
+    * for non-self pairs like the reference
+    * (tests/h3/test_ij_coordinates.py:93-104). */
   def localIj(origin: Long, cell: Long): (Int, Int) = {
     require(getRes(origin) == getRes(cell), "resolution mismatch")
-    require(!isPentagonCell(origin) && !isPentagonCell(cell),
+    if (origin == cell) return (0, 0)
+    require(!isPentagon(getBaseCell(origin)) && !isPentagon(getBaseCell(cell)),
       "pentagon distortion: local ij undefined (reference error)")
     val res = getRes(origin)
-    // express both cells in the origin's home-face frame via planar hex2d
-    val (olat, olng) = cellToLatLng(origin)
-    val (faceO, _, _) = geoToHex2d(math.toRadians(olat), math.toRadians(olng), res)
-    val (clat, clng) = cellToLatLng(cell)
-    def ijkOn(face: Int, latDeg: Double, lngDeg: Double): IJK = {
+    // lattice coordinates in the frame of the origin's base-cell home face
+    // (H3's localIjk anchor); geometric quantization of the true cell
+    // centers — exact for the local patches this API targets
+    val faceO = baseCellData(getBaseCell(origin))._1
+    def axialOn(face: Int, h: Long): (Int, Int) = {
+      val (latDeg, lngDeg) = cellToLatLng(h)
       val lat = math.toRadians(latDeg); val lng = math.toRadians(lngDeg)
       val p = geoToVec3(lat, lng)
-      // hex2d on a FIXED face (gnomonic may extrapolate past the edge for
-      // nearby cells — fine for the local patch this API is meant for)
       val sq = sqDist(faceCenterPoint(face), p)
       var r = math.acos(1 - sq / 2)
       var theta = posAngle(faceAxesAzClassII(face) -
@@ -811,13 +885,50 @@ object H3 {
       r = math.tan(r) / RES0_U_GNOMONIC
       var i = 0
       while (i < res) { r *= M_SQRT7; i += 1 }
-      hex2dToIjk(r * math.cos(theta), r * math.sin(theta))
+      val c = hex2dToIjk(r * math.cos(theta), r * math.sin(theta))
+      (c.i - c.k, c.j - c.k)
     }
-    val o = ijkOn(faceO, olat, olng)
-    val c = ijkOn(faceO, clat, clng)
-    val di = (c.i - c.k) - (o.i - o.k)
-    val dj = (c.j - c.k) - (o.j - o.k)
-    (di, dj)
+    val (oi, oj) = axialOn(faceO, origin)
+    val (ci, cj) = axialOn(faceO, cell)
+    (oi - ci, oj - cj)
+  }
+
+  // ---------------- polygon cover ----------------
+
+  /** All res-`res` cells intersecting `g` (JTS planar, like the reference's
+    * shapely-based refinement). `containsCentroid=true` keeps only cells
+    * whose center lies in `g` — the two ContainmentModes of the reference
+    * H3 regionalizer (srai/h3.py:78: Covers when buffer else
+    * ContainsCentroid). BFS flood through neighbors, seeded from geometry
+    * vertices + bbox points. */
+  def cover(g: org.locationtech.jts.geom.Geometry, res: Int,
+            containsCentroid: Boolean = false): Seq[Long] = {
+    require(res >= 0 && res <= MaxRes, s"resolution must be in [0, $MaxRes], got $res")
+    val env = g.getEnvelopeInternal
+    val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
+    val seeds = (Seq(
+      ((env.getMinX + env.getMaxX) / 2, (env.getMinY + env.getMaxY) / 2),
+      (env.getMinX, env.getMinY), (env.getMaxX, env.getMinY),
+      (env.getMinX, env.getMaxY), (env.getMaxX, env.getMaxY)) ++
+      g.getCoordinates.toSeq.map(c => (c.x, c.y)))
+      .map { case (lng, lat) => latLngToCell(lat, lng, res) }
+    val visited = scala.collection.mutable.HashSet[Long]()
+    val hits = scala.collection.mutable.LinkedHashSet[Long]()
+    val queue = scala.collection.mutable.Queue[Long](seeds.distinct: _*)
+    visited ++= seeds
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      if (prep.intersects(cellGeometry(c))) {
+        hits += c
+        neighbors(c).foreach { n => if (visited.add(n)) queue.enqueue(n) }
+      }
+    }
+    val all = hits.toSeq
+    if (!containsCentroid) all
+    else all.filter { c =>
+      val (lat, lng) = cellToLatLng(c)
+      prep.contains(Geo.point(lng, lat))
+    }
   }
 
   // ---------------- string ids ----------------

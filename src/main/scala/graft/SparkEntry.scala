@@ -242,6 +242,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- H3 operators (R1/N2/A2) — cell math not SQL-expressible: rows-only,
+    // exactness pinned by H3Spec/H3SparkSpec golden fixtures ---
+    "q26_h3_assign" -> ((s, dir) => {
+      DerivedGeo.points(prep(s), dir)
+        .select(Gf.h3Str(Gf.h3Cell(col("lng"), col("lat"), 4)).as(Tables.RegionsIndex))
+        .groupBy(Tables.RegionsIndex).agg(count(lit(1)).as("n"))
+        .orderBy(Tables.RegionsIndex)
+    }),
+
+    "q27_h3_contextual" -> ((s, dir) => {
+      val counts = DerivedGeo.points(prep(s), dir)
+        .select(Gf.h3Str(Gf.h3Cell(col("lng"), col("lat"), 3)).as(Tables.RegionsIndex))
+        .groupBy(Tables.RegionsIndex).agg(count(lit(1)).cast("int").as("cnt"))
+      val closure = Neighbourhoods.h3Closure(
+        counts.select(Tables.RegionsIndex), 2)
+      new ContextualCountEmbedder(closure, 2)
+        .transform(counts)
+        .withColumn("cnt", round(col("cnt"), 6))
+        .orderBy(Tables.RegionsIndex)
+    }),
+
     // --- evaluator metrics (A13) over deterministic pred/label tables ---
     "q23_eval_metrics" -> ((s, dir) => {
       val labels = t(prep(s), dir, "customer")

@@ -32,6 +32,37 @@ object CatalystHelpers {
 
   def s2Parent(id: Long, level: Int): Long = S2.parent(id, level)
 
+  // ---- H3 ----
+  def h3Cell(lng: Double, lat: Double, res: Int): Long =
+    graft.core.H3.latLngToCell(lat, lng, res)
+
+  def h3Str(id: Long): UTF8String = UTF8String.fromString(graft.core.H3.toHexString(id))
+
+  def h3FromStr(s: UTF8String): Long = graft.core.H3.fromHexString(s.toString)
+
+  def h3Cover(wkb: Array[Byte], res: Int, containsCentroid: Boolean): ArrayData =
+    ArrayData.toArrayData(
+      graft.core.H3.cover(Geo.fromWkb(wkb), res, containsCentroid).toArray)
+
+  def h3Boundary(id: Long): Array[Byte] = Geo.toWkb(graft.core.H3.cellGeometry(id))
+
+  def h3GridDisk(id: Long, k: Int): ArrayData =
+    ArrayData.toArrayData(graft.core.H3.gridDisk(id, k).toArray)
+
+  def h3GridRing(id: Long, k: Int): ArrayData =
+    ArrayData.toArrayData(graft.core.H3.gridRing(id, k).toArray)
+
+  def h3Parent(id: Long, res: Int): Long = graft.core.H3.parent(id, res)
+
+  def h3Children(id: Long, res: Int): ArrayData =
+    ArrayData.toArrayData(graft.core.H3.children(id, res).toArray)
+
+  /** (i, j) as a 2-element int array (srai get_local_ij_index semantics). */
+  def h3LocalIj(origin: Long, cell: Long): ArrayData = {
+    val (i, j) = graft.core.H3.localIj(origin, cell)
+    ArrayData.toArrayData(Array(i, j))
+  }
+
   // ---- slippy ----
   def slippyCover(wkb: Array[Byte], zoom: Int): ArrayData = {
     val tiles = Slippy.cover(Geo.fromWkb(wkb), zoom)

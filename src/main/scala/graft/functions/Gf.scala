@@ -45,6 +45,16 @@ object Gf {
     "img_height" -> (e => ImgHeight(e(0))),
     "img_reencode" -> (e => ImgReencode(e(0), e(1))),
     "hamming64" -> (e => Hamming64(e(0), e(1))),
+    "h3_cell" -> (e => H3CellExpr(e(0), e(1), e(2))),
+    "h3_str" -> (e => H3Str(e(0))),
+    "h3_from_str" -> (e => H3FromStr(e(0))),
+    "h3_cover" -> (e => H3Cover(e(0), e(1), e(2))),
+    "h3_boundary" -> (e => H3BoundaryExpr(e(0))),
+    "h3_grid_disk" -> (e => H3GridDisk(e(0), e(1))),
+    "h3_grid_ring" -> (e => H3GridRing(e(0), e(1))),
+    "h3_parent" -> (e => H3ParentExpr(e(0), e(1))),
+    "h3_children" -> (e => H3ChildrenExpr(e(0), e(1))),
+    "h3_local_ij" -> (e => H3LocalIjExpr(e(0), e(1))),
     "vec_cosine" -> (e => VecCosine(e(0), e(1))),
     "simhash64" -> (e => SimHash64(e(0))),
     "minhash_sig" -> (e => MinhashSig(e(0), e(1))),
@@ -101,6 +111,20 @@ object Gf {
   def imgHeight(a: Column): Column = call_function("img_height", a)
   def imgReencode(a: Column, fmt: Column): Column = call_function("img_reencode", a, fmt)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
+  def h3Cell(lng: Column, lat: Column, res: Int): Column =
+    call_function("h3_cell", lng.cast("double"), lat.cast("double"), lit(res))
+  def h3Str(id: Column): Column = call_function("h3_str", id)
+  def h3FromStr(s: Column): Column = call_function("h3_from_str", s)
+  def h3Cover(geom: Column, res: Int, containsCentroid: Boolean = false): Column =
+    call_function("h3_cover", geom, lit(res), lit(containsCentroid))
+  def h3Boundary(id: Column): Column = call_function("h3_boundary", id)
+  def h3GridDisk(id: Column, k: Int): Column = call_function("h3_grid_disk", id, lit(k))
+  def h3GridRing(id: Column, k: Int): Column = call_function("h3_grid_ring", id, lit(k))
+  def h3Parent(id: Column, res: Int): Column = call_function("h3_parent", id, lit(res))
+  def h3Children(id: Column, res: Int): Column = call_function("h3_children", id, lit(res))
+  def h3LocalIj(origin: Column, cell: Column): Column =
+    call_function("h3_local_ij", origin, cell)
+
   def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
   def minhashSig(shingles: Column, numHashes: Int): Column =

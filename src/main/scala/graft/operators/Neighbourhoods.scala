@@ -32,6 +32,35 @@ object Neighbourhoods {
       .dropDuplicates("region_id", "neighbour_id")
   }
 
+  /** H3 k-ring closure (reference: srai/neighbourhoods/h3_neighbourhood.py
+    * N1-N3): (region_id, neighbour_id, distance 1..k) from the closed-form
+    * ring generator — a pure projection + explode, no joins. With
+    * `unchecked=false`, neighbours are restricted to the available region
+    * set (semi-join, reference :117-120). */
+  def h3Closure(regions: DataFrame, k: Int, unchecked: Boolean = false): DataFrame = {
+    val ids = regions.select(col(Tables.RegionsIndex))
+    val rings = (1 to k).map { d =>
+      ids.select(
+        col(Tables.RegionsIndex).as("region_id"),
+        explode(Gf.h3GridRing(Gf.h3FromStr(col(Tables.RegionsIndex)), d)).as("n"))
+        .select(col("region_id"), Gf.h3Str(col("n")).as("neighbour_id"),
+          lit(d).as("distance"))
+    }.reduce(_ unionAll _)
+    if (unchecked) rings
+    else rings.join(
+      ids.select(col(Tables.RegionsIndex).as("neighbour_id")),
+      Seq("neighbour_id"), "left_semi")
+      .select("region_id", "neighbour_id", "distance")
+  }
+
+  /** k-ring buffer of a cell set (reference: srai/h3.py:209-226
+    * ring_buffer_h3_indexes — disk union, dedup). */
+  def h3RingBuffer(regions: DataFrame, k: Int): DataFrame =
+    regions.select(
+      explode(Gf.h3GridDisk(Gf.h3FromStr(col(Tables.RegionsIndex)), k)).as("cell"))
+      .dropDuplicates("cell")
+      .select(Gf.h3Str(col("cell")).as(Tables.RegionsIndex))
+
   /** Hop-distance closure up to `k` over an edge table: (region_id,
     * neighbour_id, distance) with the MINIMUM hop distance, distances
     * 1..k, self excluded. BFS = k rounds of frontier⋈edges (Pregel-lite,

@@ -56,6 +56,26 @@ class S2Regionalizer(level: Int, buffer: Boolean = true) extends Regionalizer {
   }
 }
 
+/** H3 hex covering (reference: srai/regionalizers/h3_regionalizer.py:52-87;
+  * core conversion srai/h3.py:41-109). buffer=true → ContainmentMode.Covers
+  * (any overlap); buffer=false → ContainsCentroid (srai/h3.py:78).
+  * region_id = lowercase h3 string; geometry = hex boundary polygon. */
+class H3Regionalizer(resolution: Int, buffer: Boolean = true) extends Regionalizer {
+  require(resolution >= 0 && resolution <= 15,
+    s"H3 resolution must be in [0, 15], got $resolution")
+
+  override def transform(areas: DataFrame): DataFrame = {
+    validate(areas)
+    parts(areas)
+      .select(explode(Gf.h3Cover(col("part"), resolution,
+        containsCentroid = !buffer)).as("cell"))
+      .dropDuplicates("cell")
+      .select(
+        Gf.h3Str(col("cell")).as(Tables.RegionsIndex),
+        Gf.h3Boundary(col("cell")).as(Tables.Geometry))
+  }
+}
+
 /** Slippy-map tiling (reference: srai/regionalizers/slippy_map_regionalizer.py:40-127).
   * region_id = "{x}_{y}_{z}"; extra x, y, z columns kept like the reference. */
 class SlippyMapRegionalizer(zoom: Int) extends Regionalizer {

@@ -15,15 +15,17 @@ class EvaluatorSpec extends AnyFunSuite {
       .toDF(Tables.RegionsIndex, "pred")
     // "d" is skipped by the inner-join alignment (reference :93-101)
     val m = Evaluator.regressionMetrics(preds, labels).collect()(0)
+    // tolerance 1e-9: sums are decimal(30,10)-truncated by design (engine
+    // parity), so per-term error is bounded by 1e-10
     assert(m.getAs[Long]("n") === 3)
-    assert(math.abs(m.getAs[Double]("mse") - 2.0 / 3) < 1e-12)
-    assert(math.abs(m.getAs[Double]("mae") - 2.0 / 3) < 1e-12)
-    assert(math.abs(m.getAs[Double]("rmse") - math.sqrt(2.0 / 3)) < 1e-12)
+    assert(math.abs(m.getAs[Double]("mse") - 2.0 / 3) < 1e-9)
+    assert(math.abs(m.getAs[Double]("mae") - 2.0 / 3) < 1e-9)
+    assert(math.abs(m.getAs[Double]("rmse") - math.sqrt(2.0 / 3)) < 1e-9)
     // mape = (1/2 + 0 + 1/6)/3 ; smape = (2/5 + 0 + 2/11)/3
-    assert(math.abs(m.getAs[Double]("mape") - (0.5 + 1.0 / 6) / 3) < 1e-12)
-    assert(math.abs(m.getAs[Double]("smape") - (0.4 + 2.0 / 11) / 3) < 1e-12)
+    assert(math.abs(m.getAs[Double]("mape") - (0.5 + 1.0 / 6) / 3) < 1e-9)
+    assert(math.abs(m.getAs[Double]("smape") - (0.4 + 2.0 / 11) / 3) < 1e-9)
     // ss_tot = 8, ss_res = 2 → r2 = 0.75
-    assert(math.abs(m.getAs[Double]("r2") - 0.75) < 1e-12)
+    assert(math.abs(m.getAs[Double]("r2") - 0.75) < 1e-9)
   }
 }
 
@@ -55,9 +57,19 @@ class SpatialSplitSpec extends AnyFunSuite {
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession.spark
 
+  /** The file stream source needs a directory — stage the single parquet
+    * file into a temp dir. */
+  lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
   test("streaming hourly counts equal the batch aggregation") {
     val dir = "/root/testdata/sf0.001"
-    val stream = graft.streaming.Streams.readEvents(spark, s"$dir/events.parquet")
+    val stream = graft.streaming.Streams.readEvents(spark, streamDir)
     val q = graft.streaming.Streams.hourlyCounts(stream)
       .writeStream.format("memory").queryName("hourly_out")
       .outputMode("complete").start()
@@ -72,8 +84,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming tile assignment produces tiles per window") {
-    val dir = "/root/testdata/sf0.001"
-    val stream = graft.streaming.Streams.readEvents(spark, s"$dir/events.parquet")
+    val stream = graft.streaming.Streams.readEvents(spark, streamDir)
     val q = graft.streaming.Streams.tileCounts(stream, 7)
       .writeStream.format("memory").queryName("tiles_out")
       .outputMode("complete").start()

@@ -263,6 +263,19 @@ object SparkEntry {
         .orderBy(Tables.RegionsIndex)
     }),
 
+    // --- skew-join path: 80% of images collapse onto 5 hotspot cells
+    // ("dense urban tiles"); explicit salting (salt=8) + AQE skew join ---
+    "q28_skew_spatial_join" -> ((s, dir) => {
+      val images = graft.sources.Images.withFootprint(
+        graft.sources.Images.forTestdata(prep(s), dir).toDF,
+        halfExtent = 0.02, skewHotPermille = 800)
+        .select(col("image_id").as(Tables.FeaturesIndex), col(Tables.Geometry))
+      val joint = new IntersectionJoiner(cellLevel = 6, salt = 8)
+        .transform(DerivedGeo.rectRegions(s, dir), images)
+      joint.groupBy(Tables.RegionsIndex).agg(count(lit(1)).as("n_images"))
+        .orderBy(Tables.RegionsIndex)
+    }),
+
     // --- evaluator metrics (A13) over deterministic pred/label tables ---
     "q23_eval_metrics" -> ((s, dir) => {
       val labels = t(prep(s), dir, "customer")
@@ -465,6 +478,18 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
+
+    "q28_skew_spatial_join" -> {
+      val lng = graft.sources.Images.skewLngSql("k", 800)
+      val lat = graft.sources.Images.skewLatSql("k", 800)
+      s"""WITH keys AS (${graft.sources.Images.keysSql}),
+         |  img AS (SELECT k, $lng AS lng, $lat AS lat FROM keys),
+         |  r AS (${DerivedGeo.rectsSql})
+         |SELECT r.region_id, COUNT(*) AS n_images
+         |FROM img JOIN r ON img.lng - 0.02 <= r.xmax AND img.lng + 0.02 >= r.xmin
+         |               AND img.lat - 0.02 <= r.ymax AND img.lat + 0.02 >= r.ymin
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q23_eval_metrics" ->
       """WITH labels AS (

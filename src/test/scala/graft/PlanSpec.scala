@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the 100-TB shape: pushdown reaches parquet,
+  * small sides broadcast, hot paths stay inside whole-stage codegen, and
+  * the flagship join contains no cartesian/nested-loop stage. */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("flagship spatial join: broadcast hash join, no cartesian product") {
+    val p = plan("q06_spatial_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop") == false)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n${p.take(2000)}")
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"missing pushdown:\n${p.take(1500)}")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"missing column pruning:\n${p.take(1500)}")
+  }
+
+  test("tile assignment is whole-stage codegen end to end (no UDF boxing)") {
+    val p = plan("q05_tile_assign")
+    // whole-stage codegen renders as *(n) stage markers in the plan string
+    assert(p.contains("*(1)"), s"no codegen stages:\n${p.take(1200)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
+  test("cell-join refinement expressions run inside codegen stages") {
+    val p = plan("q06_spatial_join")
+    // custom expressions compile via static kernels: no ScalaUDF nodes
+    assert(!p.contains("ScalaUDF"))
+    assert(p.contains("*(1)"), s"no codegen stages:\n${p.take(1200)}")
+  }
+
+  test("dedup/minhash plan has a single shuffle per aggregate (partial aggs)") {
+    val p = plan("q17_exact_dedup")
+    // partial_count before the exchange proves map-side combine
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+  }
+
+  test("AQE and skew-join handling enabled in the session") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+  }
+}
+
+class TripletsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+  import graft.operators.Triplets
+
+  test("hex2vec triplets: positives adjacent, negatives outside disk(k), deterministic") {
+    val center = "862bac507ffffff"
+    val cells = graft.core.H3.gridDisk(graft.core.H3.fromHexString(center), 3)
+      .map(graft.core.H3.toHexString)
+    val regions = cells.toDF(graft.operators.Tables.RegionsIndex)
+    val t = Triplets.hex2vec(regions, excludeK = 2, negativesPerAnchor = 2, seed = 7L)
+    val rows = t.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // positive is a direct neighbour of the anchor
+    rows.foreach { case (a, p, n) =>
+      val aId = graft.core.H3.fromHexString(a)
+      assert(graft.core.H3.neighbors(aId).map(graft.core.H3.toHexString).contains(p))
+      // negative at hop distance > 2
+      val disk2 = graft.core.H3.gridDisk(aId, 2).map(graft.core.H3.toHexString).toSet
+      assert(!disk2.contains(n), s"negative $n within disk(2) of $a")
+    }
+    // deterministic under the same seed
+    val t2 = Triplets.hex2vec(regions, excludeK = 2, negativesPerAnchor = 2, seed = 7L)
+    assert(t.exceptAll(t2).count() === 0)
+  }
+}

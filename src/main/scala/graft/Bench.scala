@@ -26,7 +26,9 @@ object Bench {
     "q17_exact_dedup",       // text dedup
     "q18_minhash_neardup",   // MinHash LSH + verify
     "q19_embed_neardup",     // hyperplane LSH + cosine verify
-    "q20_ann_topk")          // brute-force ANN
+    "q20_ann_topk",          // brute-force ANN
+    "q26_h3_assign",         // scalar H3 assignment over points
+    "q28_skew_spatial_join") // hotspot-skewed salted spatial join
 
   // Queries whose wall-time together defines images/sec (each synthesizes
   // and consumes the full derived image table once).

@@ -63,6 +63,55 @@ object Geo {
     case other => other
   }
 
+  /** Metric buffer via azimuthal-equidistant projection around the centroid
+    * (reference: srai/geometry.py:67-94 buffer_geometry — pyproj aeqd
+    * round-trip; here the closed-form spherical AEQD on the mean-earth
+    * sphere). */
+  def bufferMeters(g: Geometry, meters: Double): Geometry = {
+    val R = 6371008.8
+    val c = g.getCentroid
+    val lat0 = math.toRadians(c.getY); val lng0 = math.toRadians(c.getX)
+    def az(lat: Double, lng: Double): Double = math.atan2(
+      math.cos(lat) * math.sin(lng - lng0),
+      math.cos(lat0) * math.sin(lat) -
+        math.sin(lat0) * math.cos(lat) * math.cos(lng - lng0))
+    def dist(lat: Double, lng: Double): Double = {
+      val d = math.sin(lat0) * math.sin(lat) +
+        math.cos(lat0) * math.cos(lat) * math.cos(lng - lng0)
+      math.acos(math.max(-1.0, math.min(1.0, d)))
+    }
+    val fwd = new org.locationtech.jts.geom.util.GeometryTransformer {
+      override def transformCoordinates(
+          cs: CoordinateSequence, parent: Geometry): CoordinateSequence = {
+        val out = (0 until cs.size()).map { i =>
+          val lat = math.toRadians(cs.getY(i)); val lng = math.toRadians(cs.getX(i))
+          val rho = dist(lat, lng) * R; val a = az(lat, lng)
+          new Coordinate(rho * math.sin(a), rho * math.cos(a))
+        }
+        factory.getCoordinateSequenceFactory.create(out.toArray)
+      }
+    }
+    val buffered = fwd.transform(g).buffer(meters)
+    val inv = new org.locationtech.jts.geom.util.GeometryTransformer {
+      override def transformCoordinates(
+          cs: CoordinateSequence, parent: Geometry): CoordinateSequence = {
+        val out = (0 until cs.size()).map { i =>
+          val x = cs.getX(i); val y = cs.getY(i)
+          val rho = math.sqrt(x * x + y * y) / R
+          val a = math.atan2(x, y)
+          val lat = math.asin(math.sin(lat0) * math.cos(rho) +
+            math.cos(lat0) * math.sin(rho) * math.cos(a))
+          val lng = lng0 + math.atan2(
+            math.sin(a) * math.sin(rho) * math.cos(lat0),
+            math.cos(rho) - math.sin(lat0) * math.sin(lat))
+          new Coordinate(math.toDegrees(lng), math.toDegrees(lat))
+        }
+        factory.getCoordinateSequenceFactory.create(out.toArray)
+      }
+    }
+    inv.transform(buffered)
+  }
+
   def union(gs: Iterable[Geometry]): Geometry =
     org.locationtech.jts.operation.union.UnaryUnionOp.union(
       scala.jdk.CollectionConverters.IterableHasAsJava(gs).asJavaCollection)

@@ -127,3 +127,28 @@ class S2Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](S2.cover(Fixtures.p2, 31))
   }
 }
+
+class GeoBufferSpec extends AnyFunSuite {
+  test("metric buffer: ring vertices sit `meters` away, original contained") {
+    val p = Geo.point(17.03, 51.11)
+    val buf = Geo.bufferMeters(p, 1000.0)
+    assert(buf.contains(p))
+    def haversineM(lng1: Double, lat1: Double, lng2: Double, lat2: Double): Double = {
+      val R = 6371008.8
+      val dLat = math.toRadians(lat2 - lat1); val dLng = math.toRadians(lng2 - lng1)
+      val a = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin(dLng / 2), 2)
+      2 * R * math.asin(math.sqrt(a))
+    }
+    buf.getCoordinates.foreach { c =>
+      val d = haversineM(17.03, 51.11, c.x, c.y)
+      assert(math.abs(d - 1000.0) < 5.0, s"vertex at $d m")
+    }
+    // polygon buffer contains the original polygon
+    val poly = Fixtures.slippyPolygon
+    val pbuf = Geo.bufferMeters(poly, 500.0)
+    assert(pbuf.contains(poly))
+    assert(pbuf.getArea > poly.getArea)
+  }
+}

@@ -76,6 +76,28 @@ class H3Regionalizer(resolution: Int, buffer: Boolean = true) extends Regionaliz
   }
 }
 
+/** Spherical Voronoi regions from seed points (reference:
+  * srai/regionalizers/voronoi_regionalizer.py:99-139). Seed tables are
+  * small by construction (driver-side computation is the reference topology,
+  * SURVEY §2.2 R4); the result broadcasts into joins like any regions
+  * table. region_id = seed ordinal as string. */
+class VoronoiRegionalizer extends Regionalizer {
+  override def transform(seedPoints: DataFrame): DataFrame = {
+    validate(seedPoints)
+    val spark = seedPoints.sparkSession
+    val seeds = seedPoints.select(Tables.Geometry).collect().map { r =>
+      val g = graft.core.Geo.fromWkb(r.getAs[Array[Byte]](0))
+      require(g.getGeometryType == "Point", "Voronoi seeds must be points")
+      (g.getCoordinate.x, g.getCoordinate.y)
+    }.toSeq
+    val cells = graft.core.Voronoi.cells(seeds)
+    import spark.implicits._
+    cells.zipWithIndex.map { case (g, i) =>
+      (i.toString, graft.core.Geo.toWkb(g))
+    }.toDF(Tables.RegionsIndex, Tables.Geometry)
+  }
+}
+
 /** Slippy-map tiling (reference: srai/regionalizers/slippy_map_regionalizer.py:40-127).
   * region_id = "{x}_{y}_{z}"; extra x, y, z columns kept like the reference. */
 class SlippyMapRegionalizer(zoom: Int) extends Regionalizer {

@@ -48,6 +48,46 @@ object Tiling {
         pmod(col("pos"), lit(side)).cast("int").as("pos_col"))
   }
 
+  /** GeoVex-style hex-raster tensor arrangement (reference:
+    * srai/embedders/geovex/dataset.py:137-167): for each anchor cell, its
+    * k-ring neighbourhood laid out on a dense (2k+2)×(2k+2) grid, target at
+    * [k,k], neighbour at [k+i, k−j] via local IJ; only anchors with a
+    * COMPLETE k-ring (3k(k+1) neighbours, :82-113) are emitted.
+    *
+    * Output: (region_id, rows array<array<double>>) — row-major dense grid
+    * of `valueCol`, zeros elsewhere. Spark shape: ring generator → join
+    * values → groupBy(anchor) collect → dense-grid projection. */
+  def hexTensor(cells: DataFrame, values: DataFrame, k: Int,
+                valueCol: String): DataFrame = {
+    import graft.functions.Gf
+    val ids = cells.select(col(Tables.RegionsIndex))
+    val ring = ids.select(
+      col(Tables.RegionsIndex).as("anchor"),
+      explode(Gf.h3GridDisk(Gf.h3FromStr(col(Tables.RegionsIndex)), k)).as("n"))
+      .select(col("anchor"), Gf.h3Str(col("n")).as("neighbour"))
+      .withColumn("ij", Gf.h3LocalIj(
+        Gf.h3FromStr(col("anchor")), Gf.h3FromStr(col("neighbour"))))
+      .join(values.select(col(Tables.RegionsIndex).as("neighbour"),
+        col(valueCol).cast("double").as("v")), Seq("neighbour"))
+    val side = 2 * k + 2
+    val complete = ring.groupBy("anchor")
+      .agg(collect_list(struct(col("ij"), col("v"))).as("cells"))
+      .where(size(col("cells")) === 3 * k * (k + 1) + 1)
+    // dense grid: pos = (k + i) * side + (k - j), row-major flat then split
+    val flat = complete.select(col("anchor"),
+      aggregate(
+        transform(col("cells"), c =>
+          struct(((lit(k) + c.getField("ij").getItem(0)) * side +
+            (lit(k) - c.getField("ij").getItem(1))).as("pos"),
+            c.getField("v").as("v"))),
+        array_repeat(lit(0.0), side * side),
+        (acc, e) => transform(acc, (x, i) =>
+          when(i === e.getField("pos"), e.getField("v")).otherwise(x))).as("flat"))
+    flat.select(col("anchor").as(Tables.RegionsIndex),
+      transform(sequence(lit(0), lit(side - 1)), r =>
+        slice(col("flat"), r * side + 1, lit(side))).as("rows"))
+  }
+
   /** Regroup patch rows back to one ordered array per image
     * (reference: S2VecDataset regrouping, embedder.py §3.2 step 3). */
   def regroup(patchRows: DataFrame, valueCol: String): DataFrame =

@@ -81,3 +81,33 @@ class H3SparkSpec extends AnyFunSuite {
     assert(math.abs(out("862bac507ffffff") - (10 + 30.0 / 4)) < 1e-9)
   }
 }
+
+class HexTensorSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+  import graft.operators.{Tables, Tiling}
+
+  test("hex tensor: complete k-ring anchors only, target at [k,k], neighbours at [k+i,k-j]") {
+    val center = "862bac507ffffff"
+    val disk2 = graft.core.H3.gridDisk(graft.core.H3.fromHexString(center), 2)
+      .map(graft.core.H3.toHexString)
+    val cells = disk2.toDF(Tables.RegionsIndex)
+    val values = disk2.zipWithIndex.map { case (id, i) => (id, (i + 1) * 10) }
+      .toDF(Tables.RegionsIndex, "cnt")
+    val out = Tiling.hexTensor(cells, values, 1, "cnt").cache()
+    // only the center has a complete 1-ring WITH values inside disk2... all
+    // disk1 members of the center do too; anchors on the rim lack neighbours
+    val anchors = out.select(Tables.RegionsIndex).as[String].collect().toSet
+    assert(anchors.contains(center))
+    assert(anchors.forall(a => graft.core.H3.gridDisk(
+      graft.core.H3.fromHexString(a), 1).map(graft.core.H3.toHexString)
+      .forall(disk2.contains)))
+    // grid shape (2k+2)^2 = 4x4; target value at [1,1]
+    val row = out.where(col(Tables.RegionsIndex) === center).collect()(0)
+    val rows = row.getSeq[scala.collection.Seq[Double]](1)
+    assert(rows.length === 4 && rows.forall(_.length === 4))
+    assert(rows(1)(1) === 10.0) // center has cnt 10 (first in disk order)
+    // exactly 7 non-zero entries (center + 6 ring-1)
+    assert(rows.flatten.count(_ != 0.0) === 7)
+  }
+}

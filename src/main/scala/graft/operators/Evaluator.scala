@@ -11,6 +11,42 @@ import org.apache.spark.sql.functions._
   * Sums run in decimal so the result is independent of partial-aggregation
   * order (required for the bit-exact DuckDB oracle).
   */
+/** Train-statistics feature scaling (reference: A7 MinMax —
+  * srai/datasets/_base.py:345-356; A10 μ/σ with near-constant masking —
+  * srai/embedders/s2vec/embedder.py:226-237). Stats aggregate once and
+  * broadcast as literals into a pure projection. */
+object Scaling {
+  import org.apache.spark.sql.DataFrame
+
+  /** z-score by train stats; columns with σ < eps are masked to zero
+    * (reference semantics: std<eps → column zeroed, std treated as 1). */
+  def standardize(train: DataFrame, apply: DataFrame, cols: Seq[String],
+                  eps: Double = 1e-10): DataFrame = {
+    val stats = train.agg(
+      avg(col(cols.head)).as(s"mu_${cols.head}"),
+      (cols.tail.map(c => avg(col(c)).as(s"mu_$c")) ++
+        cols.map(c => stddev_pop(col(c)).as(s"sd_$c"))): _*).collect()(0)
+    val projected = cols.map { c =>
+      val mu = stats.getAs[Double](s"mu_$c")
+      val sd = stats.getAs[Double](s"sd_$c")
+      if (sd < eps) lit(0.0).as(c)
+      else ((col(c) - mu) / sd).as(c)
+    }
+    val others = apply.columns.filterNot(cols.contains).map(col)
+    apply.select(others ++ projected: _*)
+  }
+
+  /** MinMax scale to [0,1] by train stats, clipped (reference A7). */
+  def minMax(train: DataFrame, apply: DataFrame, c: String): DataFrame = {
+    val r = train.agg(min(col(c)).cast("double").as("mn"),
+      max(col(c)).cast("double").as("mx")).collect()(0)
+    val mn = r.getDouble(0); val mx = r.getDouble(1)
+    val range = if (mx > mn) mx - mn else 1.0
+    apply.withColumn(c,
+      least(greatest((col(c) - mn) / range, lit(0.0)), lit(1.0)))
+  }
+}
+
 object Evaluator {
 
   private def dsum(c: Column): Column =

@@ -94,3 +94,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.where(!col("tile_id").rlike("^\\d+_\\d+_7$")).count() === 0)
   }
 }
+
+class ScalingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+  import graft.operators.Scaling
+
+  test("standardize: z-scores from train stats, near-constant columns masked") {
+    val train = Seq((1.0, 5.0), (3.0, 5.0), (5.0, 5.0)).toDF("a", "b")
+    val out = Scaling.standardize(train, train, Seq("a", "b")).collect()
+    val as = out.map(_.getAs[Double]("a")).sorted
+    // μ=3, σ_pop=sqrt(8/3)
+    val sd = math.sqrt(8.0 / 3.0)
+    assert(math.abs(as(0) - (-2.0 / sd)) < 1e-12)
+    assert(math.abs(as(1)) < 1e-12)
+    assert(out.forall(_.getAs[Double]("b") === 0.0)) // σ=0 → masked
+  }
+
+  test("minMax: train-ranged [0,1] with clipping on apply data") {
+    val train = Seq(10.0, 20.0, 30.0).toDF("v")
+    val apply = Seq(5.0, 10.0, 20.0, 35.0).toDF("v")
+    val got = Scaling.minMax(train, apply, "v").as[Double].collect().sorted
+    assert(got === Array(0.0, 0.0, 0.5, 1.0))
+  }
+}

@@ -65,6 +65,10 @@ object GeoOps {
   def asText(wkb: Array[Byte]): String = Geo.toWkt(Geo.fromWkb(wkb))
   def makePoint(lng: Double, lat: Double): Array[Byte] = Geo.toWkb(Geo.point(lng, lat))
 
+  /** Axis-aligned box polygon — the footprint hot path (no WKT round-trip). */
+  def makeBox(minX: Double, minY: Double, maxX: Double, maxY: Double): Array[Byte] =
+    Geo.toWkb(Geo.box(minX, minY, maxX, maxY))
+
   // ---- scalar geometry ops ----
   def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     Geo.toWkb(Geo.fromWkb(a).intersection(Geo.fromWkb(b)))

@@ -24,6 +24,7 @@ object Gf {
     "st_geomfromtext" -> (e => StGeomFromText(e(0))),
     "st_astext" -> (e => StAsText(e(0))),
     "st_point" -> (e => StPoint(e(0), e(1))),
+    "st_box" -> (e => StBox(e(0), e(1), e(2), e(3))),
     "st_area" -> (e => StArea(e(0))),
     "st_centroid_x" -> (e => StCentroidX(e(0))),
     "st_xmin" -> (e => StXMin(e(0))),
@@ -83,6 +84,9 @@ object Gf {
   def stAsText(a: Column): Column = call_function("st_astext", a)
   def stPoint(lng: Column, lat: Column): Column =
     call_function("st_point", lng.cast("double"), lat.cast("double"))
+  def stBox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    call_function("st_box", xmin.cast("double"), ymin.cast("double"),
+      xmax.cast("double"), ymax.cast("double"))
   def stArea(a: Column): Column = call_function("st_area", a)
   def stCentroidX(a: Column): Column = call_function("st_centroid_x", a)
   def stXMin(a: Column): Column = call_function("st_xmin", a)

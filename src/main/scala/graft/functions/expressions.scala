@@ -110,6 +110,21 @@ case class StPoint(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** st_box(xmin, ymin, xmax, ymax) — direct WKB box construction (footprint
+  * hot path; avoids the format_string → WKT parse round-trip). */
+case class StBox(first: Expression, second: Expression, third: Expression,
+                 fourth: Expression) extends QuaternaryExpression {
+  override def prettyName: String = "st_box"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoOps.makeBox(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"$G.makeBox($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression = copy(a, b, c, d)
+}
+
 case class StArea(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_area"
   override def dataType: DataType = DoubleType

@@ -53,11 +53,8 @@ object DerivedGeo {
     import graft.functions.Gf
     rects(spark, sfDir).select(
       col("region_id"),
-      Gf.stGeomFromText(format_string(
-        "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
-        col("xmin"), col("ymin"), col("xmax"), col("ymin"),
-        col("xmax"), col("ymax"), col("xmin"), col("ymax"),
-        col("xmin"), col("ymin"))).as(graft.operators.Tables.Geometry))
+      Gf.stBox(col("xmin"), col("ymin"), col("xmax"), col("ymax"))
+        .as(graft.operators.Tables.Geometry))
   }
 
   /** Points as a features table (feature_id, geom WKB). */

@@ -124,12 +124,7 @@ object Images {
       .withColumn("lng", lngC)
       .withColumn("lat", latC)
       .withColumn(graft.operators.Tables.Geometry,
-        Gf.stGeomFromText(format_string(
-          "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
-          col("lng") - halfExtent, col("lat") - halfExtent,
-          col("lng") + halfExtent, col("lat") - halfExtent,
-          col("lng") + halfExtent, col("lat") + halfExtent,
-          col("lng") - halfExtent, col("lat") + halfExtent,
-          col("lng") - halfExtent, col("lat") - halfExtent)))
+        Gf.stBox(col("lng") - halfExtent, col("lat") - halfExtent,
+          col("lng") + halfExtent, col("lat") + halfExtent))
   }
 }

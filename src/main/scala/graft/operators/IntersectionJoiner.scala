@@ -33,6 +33,28 @@ import graft.functions.Gf
   * @param salt        explicit skew salting factor for the feature side
   *                    (0 = rely on AQE).
   */
+object IntersectionJoiner {
+  /** Suggest an S2 index level so a typical region covers ≈ `targetCells`
+    * cells: sample region envelopes and size the cell edge to
+    * extent / sqrt(targetCells). The right level balances cover-explosion
+    * (too fine → huge exploded build side) against refine cost (too coarse
+    * → every feature meets every region in the cell) — the dominant knob at
+    * 100-TB scale. */
+  def suggestLevel(regions: org.apache.spark.sql.DataFrame,
+                   sampleSize: Int = 256, targetCells: Int = 4): Int = {
+    val rows = regions.select(Tables.Geometry).limit(sampleSize).collect()
+    require(rows.nonEmpty, "empty regions")
+    val extents = rows.map { r =>
+      val e = graft.core.Geo.fromWkb(r.getAs[Array[Byte]](0)).getEnvelopeInternal
+      math.max(e.getWidth, e.getHeight)
+    }.sorted
+    val median = math.max(1e-9, extents(extents.length / 2))
+    val edge = median / math.sqrt(targetCells.toDouble)
+    val level = math.round(math.log(90.0 / edge) / math.log(2.0)).toInt
+    math.max(0, math.min(30, level))
+  }
+}
+
 class IntersectionJoiner(
     cellLevel: Int = 12,
     pointFeatures: Boolean = false,

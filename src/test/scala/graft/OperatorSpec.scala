@@ -208,3 +208,30 @@ class CountEmbedderSpec extends AnyFunSuite {
       "amenity_pub" -> Seq(0, 0, 0)))
   }
 }
+
+class SuggestLevelSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("suggestLevel scales inversely with region size and joins correctly") {
+    val big = graft.sources.DerivedGeo.rectRegions(spark, "/root/testdata/sf0.001")
+    val lvlBig = IntersectionJoiner.suggestLevel(big)
+    assert(lvlBig >= 1 && lvlBig <= 6, s"big-region level $lvlBig")
+    import spark.implicits._
+    val tiny = Seq(("a", Geo.toWkb(Geo.box(17.00, 51.00, 17.01, 51.01))))
+      .toDF(Tables.RegionsIndex, Tables.Geometry)
+    val lvlTiny = IntersectionJoiner.suggestLevel(tiny)
+    assert(lvlTiny > lvlBig + 4, s"tiny-region level $lvlTiny vs $lvlBig")
+    // the suggested level reproduces the fixture pair set
+    val joint = new IntersectionJoiner(
+      cellLevel = IntersectionJoiner.suggestLevel(
+        JoinerFixture.regionWkts.map { case (id, wkt) => (id, Geo.wktToWkb(wkt)) }
+          .toDF(Tables.RegionsIndex, Tables.Geometry)))
+      .transform(
+        JoinerFixture.regionWkts.map { case (id, wkt) => (id, Geo.wktToWkb(wkt)) }
+          .toDF(Tables.RegionsIndex, Tables.Geometry),
+        JoinerFixture.featureWkts.map { case (id, wkt) => (id, Geo.wktToWkb(wkt)) }
+          .toDF(Tables.FeaturesIndex, Tables.Geometry))
+    assert(joint.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      JoinerFixture.expectedPairs)
+  }
+}

@@ -78,6 +78,18 @@ object GeoOps {
   def centroidX(a: Array[Byte]): Double = Geo.fromWkb(a).getCentroid.getX
   def centroidY(a: Array[Byte]): Double = Geo.fromWkb(a).getCentroid.getY
 
+  def startPoint(a: Array[Byte]): Array[Byte] = {
+    val g = Geo.fromWkb(a)
+    Geo.toWkb(Geo.point(g.getCoordinates.head.x, g.getCoordinates.head.y))
+  }
+
+  def endPoint(a: Array[Byte]): Array[Byte] = {
+    val g = Geo.fromWkb(a)
+    Geo.toWkb(Geo.point(g.getCoordinates.last.x, g.getCoordinates.last.y))
+  }
+
+  def length(a: Array[Byte]): Double = Geo.fromWkb(a).getLength
+
   def dump(a: Array[Byte]): Array[Array[Byte]] =
     Geo.dump(Geo.fromWkb(a)).map(Geo.toWkb).toArray
 

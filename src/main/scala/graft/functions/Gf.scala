@@ -31,6 +31,9 @@ object Gf {
     "st_ymax" -> (e => StYMax(e(0))),
     "st_centroid_y" -> (e => StCentroidY(e(0))),
     "st_dump" -> (e => StDump(e(0))),
+    "st_start_point" -> (e => StStartPoint(e(0))),
+    "st_end_point" -> (e => StEndPoint(e(0))),
+    "st_length" -> (e => StLength(e(0))),
     "s2_cell" -> (e => S2CellId(e(0), e(1), e(2))),
     "s2_token" -> (e => S2Token(e(0))),
     "s2_from_token" -> (e => S2FromToken(e(0))),
@@ -93,6 +96,9 @@ object Gf {
   def stYMax(a: Column): Column = call_function("st_ymax", a)
   def stCentroidY(a: Column): Column = call_function("st_centroid_y", a)
   def stDump(a: Column): Column = call_function("st_dump", a)
+  def stStartPoint(a: Column): Column = call_function("st_start_point", a)
+  def stEndPoint(a: Column): Column = call_function("st_end_point", a)
+  def stLength(a: Column): Column = call_function("st_length", a)
 
   def s2Cell(lng: Column, lat: Column, level: Int): Column =
     call_function("s2_cell", lng.cast("double"), lat.cast("double"), lit(level))

@@ -172,6 +172,33 @@ case class StCentroidY(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+case class StStartPoint(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "st_start_point"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = GeoOps.startPoint(v.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$G.startPoint($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StEndPoint(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "st_end_point"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = GeoOps.endPoint(v.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$G.endPoint($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StLength(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "st_length"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = GeoOps.length(v.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$G.length($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** st_dump — multipolygon explode (reference: regionalizers/_base.py:26-36). */
 case class StDump(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_dump"

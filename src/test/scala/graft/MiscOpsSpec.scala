@@ -118,3 +118,33 @@ class ScalingSpec extends AnyFunSuite {
     assert(got === Array(0.0, 0.0, 0.5, 1.0))
   }
 }
+
+class RoadGraphSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+  import graft.core.Geo
+  import graft.operators.{RoadGraph, Tables}
+
+  test("ways -> shared-endpoint node/edge frames with lengths") {
+    // a path a-b-c plus a spur b-d: 4 nodes, 3 edges, b shared by 3 edges
+    val ways = Seq(
+      ("w1", "LINESTRING(0 0, 1 0)"),
+      ("w2", "LINESTRING(1 0, 1 1)"),
+      ("w3", "LINESTRING(1 0, 2 0)"))
+      .map { case (id, wkt) => (id, Geo.wktToWkb(wkt)) }
+      .toDF(Tables.FeaturesIndex, Tables.Geometry)
+    val (nodes, edges) = RoadGraph.fromWays(ways)
+    assert(nodes.count() === 4)
+    assert(edges.count() === 3)
+    val e = edges.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(e.forall(_._4 === 1.0))
+    // the shared endpoint (1,0) gets ONE id: w1.v == w2.u == w3.u
+    val byId = e.map(x => x._1 -> x).toMap
+    assert(byId("w1")._3 === byId("w2")._2)
+    assert(byId("w2")._2 === byId("w3")._2)
+    // all node ids in edges exist in the node frame
+    val nodeIds = nodes.select("node_id").as[Long].collect().toSet
+    assert(e.flatMap(x => Seq(x._2, x._3)).toSet === nodeIds)
+  }
+}

@@ -276,6 +276,30 @@ object SparkEntry {
         .orderBy(Tables.RegionsIndex)
     }),
 
+    // --- the srai canon (SURVEY §3.1) as ONE lazy plan: H3 regionalize →
+    // cell-indexed spatial join → CountEmbedder. Rows-only (H3 ids). ---
+    "q29_flagship_pipeline" -> ((s, dir) => {
+      import graft.core.Geo
+      prep(s)
+      // area: a fixed window over the synthetic point field
+      val area = s.createDataFrame(Seq(
+        Tuple1(Geo.toWkb(Geo.box(-170.0, -10.0, -140.0, 15.0)))))
+        .toDF(Tables.Geometry)
+      val regions = new H3Regionalizer(3).transform(area)
+      val features = DerivedGeo.points(s, dir)
+        .select(col("point_id").cast("string").as(Tables.FeaturesIndex),
+          Gf.stPoint(col("lng"), col("lat")).as(Tables.Geometry),
+          when(col("point_id") % 3 === 0, lit("shop"))
+            .when(col("point_id") % 3 === 1, lit("park"))
+            .otherwise(lit(null)).as("amenity"))
+        .where(col("lng").between(-175, -135) && col("lat").between(-15, 20))
+      val joint = new IntersectionJoiner(cellLevel = 4, pointFeatures = true,
+        broadcastRegions = Some(true)).transform(regions, features)
+      new CountEmbedder(Seq("amenity_shop", "amenity_park"), countSubcategories = true)
+        .transform(regions, features, joint)
+        .orderBy(Tables.RegionsIndex)
+    }),
+
     // --- evaluator metrics (A13) over deterministic pred/label tables ---
     "q23_eval_metrics" -> ((s, dir) => {
       val labels = t(prep(s), dir, "customer")

@@ -17,19 +17,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * skew-join handling (SURVEY.md §4 — dense urban cells make the cell join
   * skewed), UTC for oracle parity. */
 object GraftSession {
-  def local(cpus: Int, appName: String = "graft"): org.apache.spark.sql.SparkSession = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[$cpus]")
+  private def base(appName: String): org.apache.spark.sql.SparkSession.Builder =
+    org.apache.spark.sql.SparkSession.builder()
       .appName(appName)
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+
+  private def finish(b: org.apache.spark.sql.SparkSession.Builder) = {
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Gf.register(spark)
     spark
+  }
+
+  def local(cpus: Int, appName: String = "graft"): org.apache.spark.sql.SparkSession =
+    finish(base(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+
+  /** spark-submit entry: NEVER sets a master — `--master`/cluster config
+    * wins (round-1 bug: `.master(local[n])` here silently downgraded a
+    * cluster submit to a local-mode driver). Local-mode fallbacks (master,
+    * shuffle partitions) apply only when spark-submit provided nothing. */
+  def submit(appName: String, fallbackCpus: Int = 8): org.apache.spark.sql.SparkSession = {
+    val b = base(appName)
+    if (!sys.props.contains("spark.master") && !sys.env.contains("SPARK_MASTER"))
+      b.master(s"local[$fallbackCpus]")
+        .config("spark.sql.shuffle.partitions", fallbackCpus)
+    finish(b)
   }
 }

@@ -26,7 +26,7 @@ object Main {
     val outDir = args(1)
     val cellLevel = if (args.length > 2) args(2).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
-    val spark = GraftSession.local(cpus, "graft-main")
+    val spark = GraftSession.submit("graft-main", fallbackCpus = cpus)
 
     val images = Images.withFootprint(Images.forTestdata(spark, sfDir).toDF)
       .select(col("image_id"), col(Tables.Geometry))
@@ -37,7 +37,9 @@ object Main {
         Gf.s2Token(Gf.s2Parent(Gf.s2FromToken(col(Tables.RegionsIndex)),
           math.max(0, cellLevel - 4))))
 
-    val manifest = LineageSink.resumeWrite(assignments, outDir, "bucket")
+    // grouped commits: a crash loses at most one bucket-group; the rerun
+    // anti-joins the manifest and redoes only the missing groups
+    val manifest = LineageSink.writeGrouped(assignments, outDir, "bucket")
     val rows = manifest.agg(sum("rows")).collect()(0).getLong(0)
     val buckets = manifest.count()
     println(s"""{"assignments":$rows,"buckets":$buckets,"out":"$outDir"}""")

@@ -63,6 +63,11 @@ object CatalystHelpers {
     ArrayData.toArrayData(Array(i, j))
   }
 
+  def h3LatLng(id: Long): ArrayData = {
+    val (lat, lng) = graft.core.H3.cellToLatLng(id)
+    ArrayData.toArrayData(Array(lat, lng))
+  }
+
   // ---- slippy ----
   def slippyCover(wkb: Array[Byte], zoom: Int): ArrayData = {
     val tiles = Slippy.cover(Geo.fromWkb(wkb), zoom)

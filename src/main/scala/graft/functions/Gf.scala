@@ -62,7 +62,11 @@ object Gf {
     "vec_cosine" -> (e => VecCosine(e(0), e(1))),
     "simhash64" -> (e => SimHash64(e(0))),
     "minhash_sig" -> (e => MinhashSig(e(0), e(1))),
-    "hyperplane_sig" -> (e => HyperplaneSig(e(0), e(1), e(2))))
+    "hyperplane_sig" -> (e => HyperplaneSig(e(0), e(1), e(2))),
+    "h3_latlng" -> (e => H3LatLng(e(0))),
+    "dtw_latlng" -> (e => DtwLatLng(e(0), e(1))),
+    "topk_agg" -> (e => TopKAgg(e(0), e(1), e(2))),
+    "st_union_agg" -> (e => StUnionAgg(e(0))))
 
   /** SparkSessionExtensions hook (used by graft.GraftExtensions). */
   def inject(ext: SparkSessionExtensions): Unit = defs.foreach { case (name, builder) =>
@@ -141,6 +145,25 @@ object Gf {
     call_function("minhash_sig", shingles, lit(numHashes))
   def hyperplaneSig(v: Column, planes: Int, seed: Long): Column =
     call_function("hyperplane_sig", v, lit(planes), lit(seed))
+  def h3LatLng(id: Column): Column = call_function("h3_latlng", id)
+  def dtwLatLng(a: Column, b: Column): Column = call_function("dtw_latlng", a, b)
+  def topKAgg(score: Column, id: Column, k: Int): Column =
+    call_function("topk_agg", score, id, lit(k))
+  def stUnionAgg(geom: Column): Column = call_function("st_union_agg", geom)
+
+  /** Great-circle distance in meters as pure built-in column math (haversine,
+    * R = [[GeoMetrics.EarthRadiusM]]) — composes into codegen and has an
+    * exact SQL mirror ([[haversineSql]]) for DuckDB oracles. */
+  def haversineM(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column = {
+    val a = pow(sin(radians(lat2 - lat1) / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lng2 - lng1) / 2), 2)
+    lit(2.0 * GeoMetrics.EarthRadiusM) * asin(least(lit(1.0), sqrt(a)))
+  }
+  def haversineSql(lat1: String, lng1: String, lat2: String, lng2: String): String =
+    s"2.0 * ${GeoMetrics.EarthRadiusM} * asin(least(1.0, sqrt(" +
+      s"pow(sin(radians(($lat2) - ($lat1)) / 2), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * " +
+      s"pow(sin(radians(($lng2) - ($lng1)) / 2), 2))))"
 
   /** Slippy tile (x, y) for a point — pure built-in column math, fully
     * codegen'd, zero custom code in the hot path (reference math:

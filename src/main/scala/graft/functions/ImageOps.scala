@@ -157,8 +157,9 @@ object ImageOps {
     bos.toByteArray
   }
 
-  /** Decode to packed RGB ints (row-major). */
-  def decodeRgb(bytes: Array[Byte]): Array[Int] = {
+  /** Decode ONCE to (packed RGB ints row-major, width, height) — the hot
+    * paths (phash, reencode) derive everything from this single decode. */
+  def decodeAll(bytes: Array[Byte]): (Array[Int], Int, Int) = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "undecodable image bytes")
     val w = img.getWidth; val h = img.getHeight
@@ -166,8 +167,11 @@ object ImageOps {
     img.getRGB(0, 0, w, h, px, 0, w)
     var i = 0
     while (i < px.length) { px(i) = px(i) & 0xffffff; i += 1 }
-    px
+    (px, w, h)
   }
+
+  /** Decode to packed RGB ints (row-major). */
+  def decodeRgb(bytes: Array[Byte]): Array[Int] = decodeAll(bytes)._1
 
   def width(bytes: Array[Byte]): Int =
     ImageIO.read(new ByteArrayInputStream(bytes)).getWidth
@@ -196,8 +200,10 @@ object ImageOps {
 
   /** 64-bit average perceptual hash: grayscale → 8×8 area mean → bit per
     * cell above global mean (public aHash scheme). */
-  def phash(bytes: Array[Byte]): Long = phashOfPixels(decodeRgb(bytes),
-    width(bytes), height(bytes))
+  def phash(bytes: Array[Byte]): Long = {
+    val (px, w, h) = decodeAll(bytes)
+    phashOfPixels(px, w, h)
+  }
 
   def phashOfPixels(px: Array[Int], w: Int, h: Int): Long = {
     val grid = new Array[Double](64)
@@ -231,7 +237,7 @@ object ImageOps {
 
   /** Re-encode decoded pixels in another format (tile-sink path, L6/L7). */
   def reencode(bytes: Array[Byte], fmt: String): Array[Byte] = {
-    val w = width(bytes); val h = height(bytes)
-    encode(decodeRgb(bytes), w, h, fmt)
+    val (px, w, h) = decodeAll(bytes)
+    encode(px, w, h, fmt)
   }
 }

@@ -31,7 +31,10 @@ class ContextualCountEmbedder(
 
   private def aggFn(c: Column): Column = aggregation match {
     case "average" => avg(c)
-    case "median" => percentile_approx(c, lit(0.5), lit(10000))
+    // exact median (reference is exact np.nanmedian,
+    // contextual_count_embedder.py:352 — percentile_approx diverges on
+    // even-sized neighbour sets)
+    case "median" => median(c)
     case "sum" => sum(c)
     case "min" => min(c)
     case "max" => max(c)

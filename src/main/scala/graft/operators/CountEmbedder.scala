@@ -60,12 +60,19 @@ class CountEmbedder(
             }
           } else {
             // Data-dependent one-hot schema, like the reference's to_dummies:
-            // collect distinct values per payload column (small: the distinct
-            // tag-value domain), sorted for reproducibility.
-            payloadCols.flatMap { c =>
-              features.select(col(c)).where(col(c).isNotNull).distinct()
-                .collect().map(r => c -> r.get(0).toString).sortBy(_._2)
-            }
+            // ONE Spark job collects the distinct (column, value) domain for
+            // every payload column at once (explode of a per-row map) — a
+            // wide OSM-style table with hundreds of tag columns must not
+            // launch hundreds of driver-blocking jobs. Values are sorted
+            // within each column for reproducibility (count_embedder.py:204).
+            val pairsDf = features
+              .select(explode(map(payloadCols.flatMap(c =>
+                Seq(lit(c), col(c).cast("string"))): _*)))
+              .where(col("value").isNotNull).distinct()
+            val byCol = pairsDf.collect()
+              .map(r => r.getString(0) -> r.getString(1))
+              .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+            payloadCols.flatMap(c => byCol.getOrElse(c, Array.empty[String]).map(c -> _))
           }
         val cols = pairs.map { case (c, v) =>
           s"${c}_$v" -> (col(c) === lit(v)).cast("int")

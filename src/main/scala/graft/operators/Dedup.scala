@@ -10,22 +10,29 @@ import graft.functions.Gf
   *  - exact: one hash-aggregate on md5(normalized text) — same plan as any
   *    high-cardinality groupBy, no special handling needed;
   *  - MinHash+LSH: signature is a per-row projection; banding explodes each
-  *    row into `bands` small rows; candidate generation is a self-join on
+  *    row into `bands` NARROW rows (id, band, band_hash) — no shingle/text
+  *    payload rides the band shuffle. Candidate generation is a self-join on
   *    (band, band_hash) — only rows sharing a bucket meet, so the join is
-  *    linear in bucket sizes, never all-pairs. Exact Jaccard verification
-  *    happens only on candidates;
+  *    linear in bucket sizes, never all-pairs. Shingles are joined back ONCE
+  *    per unique candidate pair, and exact Jaccard verification runs only on
+  *    those pairs;
   *  - SimHash: same banding trick over 4×16-bit chunks of the 64-bit hash
-  *    (two near-dup hashes with hamming ≤ 3 share ≥ 1 exact chunk).
+  *    (two near-dup hashes with hamming ≤ 3 share ≥ 1 exact chunk by
+  *    pigeonhole — recall 1.0 at the hamming threshold, not probabilistic).
   */
 object Dedup {
 
   /** The signature computation is the expensive projection; a small
     * single-file input would otherwise run it in one task. Only widens —
     * never shrinks an already-parallel input (at real scale file splits
-    * provide the parallelism and this is a no-op). */
+    * provide the parallelism and this is a no-op). The decision uses the
+    * optimizer's size ESTIMATE (file-listing metadata) — no physical
+    * planning of the query (the round-1 `df.rdd.getNumPartitions` forced a
+    * full plan just to inspect partition count). */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < target.toLong * 4L * 1024 * 1024) df.repartition(target) else df
   }
 
   /** Exact duplicate groups by normalized-text hash: (content_hash,
@@ -34,6 +41,27 @@ object Dedup {
     df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("content_hash"))
       .groupBy("content_hash")
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keep_id"))
+
+  /** (id, shingles) projection shared by the LSH paths. */
+  private def shingled(df: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int): DataFrame =
+    spread(df).select(
+      col(idCol).as("id"),
+      TextOps.shingles(col(textCol), shingleK).as("sh"))
+
+  /** Join shingle arrays back to (id_a, id_b) candidate pairs and verify
+    * exact Jaccard ≥ threshold. The two id-keyed joins shuffle each shingle
+    * array at most once — candidate pairs are tiny next to the corpus. */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
 
   /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold; id_a < id_b.
@@ -46,41 +74,40 @@ object Dedup {
                    threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withShingles = spread(df).select(
-      col(idCol).as("id"),
-      TextOps.shingles(col(textCol), shingleK).as("sh"))
+    val sh = shingled(df, idCol, textCol, shingleK)
+    // band rows: (id, band, band_hash) — NO array payload in the shuffle
+    val banded = sh
       .withColumn("sig", Gf.minhashSig(col("sh"), numHashes))
-    // band rows: (id, band, band_hash)
-    val banded = withShingles.select(
-      col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates, sh, threshold)
   }
 
-  /** SimHash near-duplicate pairs: 64-bit token-vote hash, 4×16-bit band
-    * blocking, hamming ≤ maxHamming verification. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+  /** (id, simhash, band chunks) blocking rows — (id, band, chunk) only. */
+  private def simhashBanded(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = spread(df).select(col(idCol).as("id"),
       Gf.simhash64(TextOps.tokens(col(textCol))).as("sh"))
     val chunks = array((0 until 4).map(b => struct(
       lit(b).as("band"),
       shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)
-    val banded = hashed.select(col("id"), col("sh"), explode(chunks).as("bc"))
+    hashed.select(col("id"), col("sh"), explode(chunks).as("bc"))
       .select(col("id"), col("sh"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit token-vote hash, 4×16-bit band
+    * blocking, hamming ≤ maxHamming verification. The hash payload is one
+    * long — it rides the band shuffle (8 bytes ×4, cheaper than a join
+    * back). Recall is exact by pigeonhole for maxHamming ≤ 3. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val banded = simhashBanded(df, idCol, textCol)
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "chunk"))
@@ -89,5 +116,21 @@ object Dedup {
       .withColumn("hamming", Gf.hamming64(col("sh_a"), col("sh_b")))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash-blocked exact-Jaccard near-dup pairs: candidates from the
+    * 4×16-bit simhash chunk blocking, verified with exact shingle Jaccard.
+    * Same output contract as [[minhashPairs]] — a cheaper blocking (one
+    * 64-bit hash instead of a 64-long signature) for corpora where
+    * near-dups keep most token votes intact. */
+  def simhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          shingleK: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val banded = simhashBanded(df, idCol, textCol)
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates, shingled(df, idCol, textCol, shingleK), threshold)
   }
 }

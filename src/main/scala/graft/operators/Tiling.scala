@@ -31,18 +31,24 @@ object Tiling {
     val side = 1 << (patchLevel - imgLevel)
     val withCell = imagesWithGeotag.withColumn("img_cell",
       Gf.s2Cell(col("lng"), col("lat"), imgLevel))
-    val patches = withCell.select(
+    // The reference's top-left → bottom-right lexsort (desc ymax, asc xmin,
+    // s2_utils.py:60-72) runs PER ROW on the children array (sort_array on
+    // struct(-ymax, xmin, patch)) — a pure projection. The round-1 version
+    // used a row_number window per image_id: an avoidable global
+    // shuffle+sort that the per-row sort eliminates entirely.
+    val sorted = withCell.select(
       col("image_id"), col("img_cell"),
-      explode(Gf.s2Children(col("img_cell"), patchLevel)).as("patch"))
-      .withColumn("pgeom", Gf.s2Boundary(col("patch")))
-    val w = Window.partitionBy("image_id")
-      .orderBy(Gf.stYMax(col("pgeom")).desc, Gf.stXMin(col("pgeom")).asc)
-    patches
-      .withColumn("pos", row_number().over(w) - 1)
+      sort_array(transform(Gf.s2Children(col("img_cell"), patchLevel), p => {
+        val g = Gf.s2Boundary(p)
+        struct((-Gf.stYMax(g)).as("negymax"), Gf.stXMin(g).as("xmin"),
+          p.as("patch"))
+      })).as("patches"))
+    sorted.select(col("image_id"), col("img_cell"),
+      posexplode(col("patches")))
       .select(
         col("image_id"),
         Gf.s2Token(col("img_cell")).as("img_region_id"),
-        Gf.s2Token(col("patch")).as("patch_id"),
+        Gf.s2Token(col("col.patch")).as("patch_id"),
         col("pos"),
         (col("pos") / side).cast("int").as("pos_row"),
         pmod(col("pos"), lit(side)).cast("int").as("pos_col"))

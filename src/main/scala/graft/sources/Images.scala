@@ -44,6 +44,7 @@ object Images {
   }
 
   def row(k: Long, patterns: Int): ImageRow = {
+    require(k >= 0, s"image key must be non-negative, got $k")
     val pat = k % patterns
     val w = 32 + (pat % 3).toInt * 16
     val h = 32
@@ -86,9 +87,11 @@ object Images {
   val keysSql: String =
     "SELECT p_partkey * 4 + v AS k FROM part, (VALUES (0), (1), (2), (3)) t(v)"
 
-  /** Numeric key back out of the id (for geotag derivation in both engines). */
+  /** Numeric key back out of the id (for geotag derivation in both engines).
+    * `img_%09d` does NOT truncate above 10⁹-1, so take the whole digit tail
+    * (up to Long.MaxValue's 19 digits) instead of a fixed 9-char slice. */
   def key(imageId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    substring(imageId, 5, 9).cast("long")
+    substring(imageId, 5, 19).cast("long")
 
   /** Uniform geotag columns (SQL mirrors below). */
   def lng(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -19,7 +19,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("flagship spatial join: broadcast hash join, no cartesian product") {
     val p = plan("q06_spatial_join")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop") == false)
+    assert(!p.contains("BroadcastNestedLoop"))
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n${p.take(2000)}")
   }

@@ -99,12 +99,25 @@ object SparkEntry {
         .orderBy(Tables.RegionsIndex)
     }),
 
-    // --- S2 point assignment (R2/J4) — no SQL oracle (cell math), rows-only ---
+    // --- S2 cell math certified against the reference's golden S2 regions
+    // (s2vec wro level-14 set): 'center' rows re-derive the region id from
+    // the stored geometry's centroid alone; 'l16' rows descend two levels
+    // with s2_children and climb back with s2_parent — the oracle recomputes
+    // the same descendants with pure SQL bit arithmetic on the cell id. ---
     "q07_s2_assign" -> ((s, dir) => {
-      DerivedGeo.points(prep(s), dir)
-        .select(Gf.s2Token(Gf.s2Cell(col("lng"), col("lat"), 8)).as(Tables.RegionsIndex))
-        .groupBy(Tables.RegionsIndex).agg(count(lit(1)).as("n"))
-        .orderBy(Tables.RegionsIndex)
+      val golden = prep(s).read.parquet(
+        "/root/reference/tests/embedders/s2vec/test_files/wro_s2_14_regions.parquet")
+      val center = golden.select(
+        Gf.s2Token(Gf.s2Cell(Gf.stCentroidX(col("geometry")),
+          Gf.stCentroidY(col("geometry")), 14)).as("t"))
+        .select(col("t").as(Tables.RegionsIndex), col("t").as("token"),
+          lit("center").as("kind"))
+      val l16 = golden
+        .select(explode(Gf.s2Children(Gf.s2FromToken(col("region_id")), 16)).as("c"))
+        .select(
+          Gf.s2Token(Gf.s2Parent(col("c"), 14)).as(Tables.RegionsIndex),
+          Gf.s2Token(col("c")).as("token"), lit("l16").as("kind"))
+      center.unionAll(l16).orderBy("kind", Tables.RegionsIndex, "token")
     }),
 
     // --- image pipeline (graft payload): synth → decode/hash → tile ---
@@ -129,12 +142,19 @@ object SparkEntry {
         .orderBy(Tables.RegionsIndex)
     }),
 
-    // patch grid (raster↔vector tiling) — cell ids not SQL-expressible;
-    // rows-only here, exact-grid properties covered in ImagePipelineSpec
+    // patch grid (raster↔vector tiling): the oracle certifies grid
+    // completeness (every image × every pos with the row/col arithmetic)
+    // plus the parent∘child == anchor invariant per patch; the exact
+    // top-left→bottom-right lexsort order of patch TOKENS is pinned by
+    // ImagePipelineSpec (cell ids are not SQL-expressible).
     "q12_patch_grid" -> ((s, dir) => {
       val images = graft.sources.Images.withFootprint(
-        graft.sources.Images.forTestdata(prep(s), dir).limit(500).toDF)
+        graft.sources.Images.forTestdata(prep(s), dir).toDF)
+        .where(graft.sources.Images.key(col("image_id")) < 2000)
       operators.Tiling.patchGrid(images, 10, 12)
+        .select(col("image_id"), col("pos"), col("pos_row"), col("pos_col"),
+          (Gf.s2Parent(Gf.s2FromToken(col("patch_id")), 10) ===
+            Gf.s2FromToken(col("img_region_id"))).cast("int").as("parent_ok"))
         .orderBy("image_id", "pos")
     }),
 
@@ -223,43 +243,76 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN — approximate by design: rows-only for the driver,
-    // recall vs brute force asserted in TextSimilaritySpec
+    // LSH-bucketed ANN with a TRUE-ANSWER oracle: strong-match search
+    // (cosine >= 0.95) over a corpus with planted same-direction duplicates.
+    // Identical directions produce identical sign patterns in EVERY
+    // hyperplane table, so LSH recall at this threshold is guaranteed by
+    // construction — the driver's brute-force DuckDB oracle certifies the
+    // whole path (bucketing, candidate dedup, exact cosine, bounded top-k
+    // ranking) exactly. General-regime recall stays spec-asserted in
+    // TextSimilaritySpec.
     "q21_ann_lsh" -> ((s, dir) => {
       val emb = t(prep(s), dir, "embeddings")
-      val queries = emb.where(col("vec_id").isin(1L, 2L, 3L))
-      Similarity.lshTopK(emb, queries, 10)
+      val aug = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(emb.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      val queries = emb.where(col("vec_id") % 5 === 0 && col("vec_id") < 100)
+      Similarity.lshTopK(aug, queries, 10, planes = 16, tables = 4)
+        .where(col("cosine") >= 0.95)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
     }),
 
+    // SimHash blocking with exact-Jaccard verification: same true-answer
+    // contract as q18 (the inverted-index oracle), via a cheaper blocking
+    // key. The hamming-threshold variant (simhashPairs) stays spec-pinned
+    // in TextSimilaritySpec (the 64-bit hash is not SQL-expressible).
     "q22_simhash_neardup" -> ((s, dir) => {
       val docs = t(prep(s), dir, "documents")
       val aug = docs.select(col("doc_id"), col("text"))
         .unionAll(docs.where(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      Dedup.simhashPairs(aug, "doc_id", "text", maxHamming = 3)
+      Dedup.simhashJaccardPairs(aug, "doc_id", "text", threshold = 0.9)
         .orderBy("id_a", "id_b")
     }),
 
-    // --- H3 operators (R1/N2/A2) — cell math not SQL-expressible: rows-only,
-    // exactness pinned by H3Spec/H3SparkSpec golden fixtures ---
+    // --- H3 encode certified against the reference's golden region sets
+    // (Poznań res-8, Wrocław res-9, AL res-10 — 315 real cells): every
+    // region id is RECOMPUTED from the stored cell geometry's centroid;
+    // the golden region_id column is never read on the Spark side. ---
     "q26_h3_assign" -> ((s, dir) => {
-      DerivedGeo.points(prep(s), dir)
-        .select(Gf.h3Str(Gf.h3Cell(col("lng"), col("lat"), 4)).as(Tables.RegionsIndex))
-        .groupBy(Tables.RegionsIndex).agg(count(lit(1)).as("n"))
-        .orderBy(Tables.RegionsIndex)
+      prep(s)
+      Seq(
+        ("/root/reference/tests/embedders/hex2vec/test_files/poz_8_regions.parquet", 8, "poz_8"),
+        ("/root/reference/tests/embedders/geovex/test_files/wro_9_regions.parquet", 9, "wro_9"),
+        ("/root/reference/tests/embedders/geovex/test_files/AL_10_regions.parquet", 10, "AL_10"))
+        .map { case (path, res, tag) =>
+          s.read.parquet(path).select(
+            Gf.h3Str(Gf.h3Cell(Gf.stCentroidX(col("geometry")),
+              Gf.stCentroidY(col("geometry")), res)).as(Tables.RegionsIndex),
+            lit(tag).as("src"))
+        }.reduce(_ unionAll _).orderBy("src", Tables.RegionsIndex)
     }),
 
+    // ContextualCountEmbedder over the golden Poznań region set: Spark
+    // derives the k=2 neighbourhood from h3_grid_ring; the oracle
+    // recomputes the same squashed embedding in pure SQL using the
+    // checked-in local-IJ fixture (fixtures/poz8_ij.parquet — hex grid
+    // distance is closed-form in axial IJ; FixtureGen asserts IJ distance
+    // == true grid distance for every region pair before writing).
     "q27_h3_contextual" -> ((s, dir) => {
-      val counts = DerivedGeo.points(prep(s), dir)
-        .select(Gf.h3Str(Gf.h3Cell(col("lng"), col("lat"), 3)).as(Tables.RegionsIndex))
-        .groupBy(Tables.RegionsIndex).agg(count(lit(1)).cast("int").as("cnt"))
-      val closure = Neighbourhoods.h3Closure(
-        counts.select(Tables.RegionsIndex), 2)
+      prep(s)
+      val hex = "/root/reference/tests/embedders/hex2vec/test_files"
+      val regions = s.read.parquet(s"$hex/poz_8_regions.parquet")
+        .select(col("region_id").as(Tables.RegionsIndex))
+      val counts = regions.join(
+        s.read.parquet(s"$hex/poz_8_joint.parquet").groupBy("region_id")
+          .agg(count(lit(1)).cast("int").as("cnt")),
+        Seq(Tables.RegionsIndex), "left").na.fill(0, Seq("cnt"))
+      val closure = Neighbourhoods.h3Closure(regions, 2)
       new ContextualCountEmbedder(closure, 2)
         .transform(counts)
-        .withColumn("cnt", round(col("cnt"), 6))
         .orderBy(Tables.RegionsIndex)
     }),
 
@@ -276,26 +329,26 @@ object SparkEntry {
         .orderBy(Tables.RegionsIndex)
     }),
 
-    // --- the srai canon (SURVEY §3.1) as ONE lazy plan: H3 regionalize →
-    // cell-indexed spatial join → CountEmbedder. Rows-only (H3 ids). ---
+    // --- the srai canon (SURVEY §3.1) as ONE lazy plan, end-to-end against
+    // the reference's own Poznań snapshot: st_union_agg dissolves the golden
+    // cells into the area polygon → H3Regionalizer (centroid mode)
+    // reproduces srai's 127-cell region set → IntersectionJoiner rebuilds
+    // the joint pair set → CountEmbedder counts amenity/leisure one-hots.
+    // The DuckDB oracle recomputes the counts from the golden joint/features
+    // files — an exact end-to-end certificate of the whole pipeline. ---
     "q29_flagship_pipeline" -> ((s, dir) => {
-      import graft.core.Geo
       prep(s)
-      // area: a fixed window over the synthetic point field
-      val area = s.createDataFrame(Seq(
-        Tuple1(Geo.toWkb(Geo.box(-170.0, -10.0, -140.0, 15.0)))))
-        .toDF(Tables.Geometry)
-      val regions = new H3Regionalizer(3).transform(area)
-      val features = DerivedGeo.points(s, dir)
-        .select(col("point_id").cast("string").as(Tables.FeaturesIndex),
-          Gf.stPoint(col("lng"), col("lat")).as(Tables.Geometry),
-          when(col("point_id") % 3 === 0, lit("shop"))
-            .when(col("point_id") % 3 === 1, lit("park"))
-            .otherwise(lit(null)).as("amenity"))
-        .where(col("lng").between(-175, -135) && col("lat").between(-15, 20))
-      val joint = new IntersectionJoiner(cellLevel = 4, pointFeatures = true,
+      val hex = "/root/reference/tests/embedders/hex2vec/test_files"
+      val area = s.read.parquet(s"$hex/poz_8_regions.parquet")
+        .agg(Gf.stUnionAgg(col("geometry")).as(Tables.Geometry))
+      val regions = new H3Regionalizer(8, buffer = false).transform(area)
+      val features = s.read.parquet(s"$hex/poz_8_features.parquet")
+        .select(col("feature_id").as(Tables.FeaturesIndex),
+          col("geometry").as(Tables.Geometry), col("amenity"), col("leisure"))
+      val joint = new IntersectionJoiner(cellLevel = 13,
         broadcastRegions = Some(true)).transform(regions, features)
-      new CountEmbedder(Seq("amenity_shop", "amenity_park"), countSubcategories = true)
+      new CountEmbedder(Seq("amenity_restaurant", "leisure_park"),
+        countSubcategories = true)
         .transform(regions, features, joint)
         .orderBy(Tables.RegionsIndex)
     }),
@@ -560,6 +613,122 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // golden-fixture oracles: DuckDB reads the reference's checked-in
+    // parquet snapshots directly (absolute paths, same sandbox)
+    "q26_h3_assign" ->
+      """SELECT region_id, 'poz_8' AS src FROM read_parquet('/root/reference/tests/embedders/hex2vec/test_files/poz_8_regions.parquet')
+        |UNION ALL
+        |SELECT region_id, 'wro_9' AS src FROM read_parquet('/root/reference/tests/embedders/geovex/test_files/wro_9_regions.parquet')
+        |UNION ALL
+        |SELECT region_id, 'AL_10' AS src FROM read_parquet('/root/reference/tests/embedders/geovex/test_files/AL_10_regions.parquet')
+        |ORDER BY src, region_id""".stripMargin,
+
+    // S2 descendants recomputed with pure bit arithmetic on the cell id:
+    // lsb = id & -id, children centers = id + (2k-3)·(lsb/4), token = hex
+    // with trailing zeros stripped (face-2 ids stay positive in BIGINT)
+    "q07_s2_assign" ->
+      """WITH r AS (SELECT region_id FROM read_parquet('/root/reference/tests/embedders/s2vec/test_files/wro_s2_14_regions.parquet')),
+        |ids AS (SELECT region_id,
+        |  CAST(CAST('0x' || rpad(region_id, 16, '0') AS UBIGINT) AS BIGINT) AS id FROM r),
+        |c1 AS (SELECT region_id, id + (2*k - 3) * ((id & -id) // 4) AS cid
+        |       FROM ids, (VALUES (0),(1),(2),(3)) t(k)),
+        |c2 AS (SELECT region_id, cid + (2*k - 3) * ((cid & -cid) // 4) AS cid2
+        |       FROM c1, (VALUES (0),(1),(2),(3)) t(k))
+        |SELECT region_id, region_id AS token, 'center' AS kind FROM r
+        |UNION ALL
+        |SELECT region_id, rtrim(lower(lpad(hex(cid2), 16, '0')), '0') AS token,
+        |       'l16' AS kind FROM c2
+        |ORDER BY kind, region_id, token""".stripMargin,
+
+    "q12_patch_grid" -> {
+      s"""WITH keys AS (${graft.sources.Images.keysSql}),
+         |f AS (SELECT k FROM keys WHERE k < 2000),
+         |p AS (SELECT unnest(generate_series(0, 15)) AS pos)
+         |SELECT 'img_' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+         |  CAST(pos AS INT) AS pos, CAST(pos // 4 AS INT) AS pos_row,
+         |  CAST(pos % 4 AS INT) AS pos_col, 1 AS parent_ok
+         |FROM f, p ORDER BY image_id, pos""".stripMargin
+    },
+
+    // exact brute-force strong-match top-k (list_cosine_similarity): the
+    // LSH result must equal the true answer at threshold 0.95
+    "q21_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |  aug AS (SELECT vec_id, v FROM e
+        |          UNION ALL
+        |          SELECT vec_id + 100000, list_transform(v, x -> x * 2)
+        |          FROM e WHERE vec_id % 5 = 0),
+        |  q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |        WHERE vec_id % 5 = 0 AND vec_id < 100),
+        |  c AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+        |          list_cosine_similarity(a.v, q.qv) AS cos
+        |        FROM aug a, q WHERE a.vec_id <> q.query_id),
+        |  r AS (SELECT query_id, neighbor_id, cos,
+        |          ROW_NUMBER() OVER (PARTITION BY query_id
+        |            ORDER BY cos DESC, neighbor_id ASC) AS rn
+        |        FROM c)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 10 AND cos >= 0.95 ORDER BY query_id, rank""".stripMargin,
+
+    // same inverted-index exact-Jaccard true answer as q18: simhash blocking
+    // must find every pair with true 3-gram jaccard >= 0.9
+    "q22_simhash_neardup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_extract_all(text, '\S+')
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |            FOR i IN generate_series(1, len(t)-2)] END) AS s
+        |  FROM docs),
+        |ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c,
+        |         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, c / (na + nb - c) AS jaccard
+        |FROM pairs WHERE c / (na + nb - c) >= 0.9 ORDER BY 1, 2""".stripMargin,
+
+    // squashed contextual embedding recomputed in pure SQL from the IJ
+    // fixture: hex grid distance d = (|di| + |dj| + |di-dj|) / 2
+    "q27_h3_contextual" ->
+      """WITH r AS (SELECT region_id FROM read_parquet('/root/reference/tests/embedders/hex2vec/test_files/poz_8_regions.parquet')),
+        |jc AS (SELECT region_id, CAST(count(*) AS INT) AS c
+        |       FROM read_parquet('/root/reference/tests/embedders/hex2vec/test_files/poz_8_joint.parquet') GROUP BY 1),
+        |base AS (SELECT r.region_id, COALESCE(c, 0) AS c FROM r LEFT JOIN jc USING (region_id)),
+        |ij AS (SELECT region_id, i, j FROM read_parquet('/root/repo/fixtures/poz8_ij.parquet')),
+        |pairs AS (SELECT a.region_id, b.region_id AS nb,
+        |    (abs(a.i - b.i) + abs(a.j - b.j) + abs((a.i - b.i) - (a.j - b.j))) // 2 AS d
+        |  FROM ij a JOIN ij b ON a.region_id <> b.region_id),
+        |a1 AS (SELECT p.region_id, AVG(base.c) AS m FROM pairs p
+        |       JOIN base ON base.region_id = p.nb WHERE d = 1 GROUP BY 1),
+        |a2 AS (SELECT p.region_id, AVG(base.c) AS m FROM pairs p
+        |       JOIN base ON base.region_id = p.nb WHERE d = 2 GROUP BY 1)
+        |SELECT b.region_id,
+        |  CAST(b.c AS DOUBLE) + COALESCE(a1.m, 0) / 4.0 + COALESCE(a2.m, 0) / 9.0 AS cnt
+        |FROM base b LEFT JOIN a1 USING (region_id) LEFT JOIN a2 USING (region_id)
+        |ORDER BY region_id""".stripMargin,
+
+    // end-to-end flagship certificate: counts recomputed from the golden
+    // joint pair set — exact match requires our regionalize→join pipeline
+    // to reproduce srai's joint EXACTLY on real OSM data
+    "q29_flagship_pipeline" ->
+      """WITH r AS (SELECT region_id FROM read_parquet('/root/reference/tests/embedders/hex2vec/test_files/poz_8_regions.parquet')),
+        |f AS (SELECT feature_id, amenity, leisure FROM read_parquet('/root/reference/tests/embedders/hex2vec/test_files/poz_8_features.parquet')),
+        |j AS (SELECT region_id, feature_id FROM read_parquet('/root/reference/tests/embedders/hex2vec/test_files/poz_8_joint.parquet')),
+        |c AS (SELECT j.region_id,
+        |        SUM(CASE WHEN f.amenity = 'restaurant' THEN 1 ELSE 0 END) AS a,
+        |        SUM(CASE WHEN f.leisure = 'park' THEN 1 ELSE 0 END) AS l
+        |      FROM j JOIN f USING (feature_id) GROUP BY 1)
+        |SELECT r.region_id,
+        |  CAST(COALESCE(a, 0) AS INT) AS amenity_restaurant,
+        |  CAST(COALESCE(l, 0) AS INT) AS leisure_park
+        |FROM r LEFT JOIN c USING (region_id) ORDER BY region_id""".stripMargin,
 
     "q09_sessionize" ->
       """WITH e AS (

@@ -90,13 +90,19 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
-  /** (id, simhash, band chunks) blocking rows — (id, band, chunk) only. */
-  private def simhashBanded(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** (id, simhash, band chunks) blocking rows — (id, band, chunk) only.
+    * `bands` equal chunks of 64/bands bits: pigeonhole guarantees any pair
+    * with hamming < bands shares a chunk. */
+  private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
+                            bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val hashed = spread(df).select(col(idCol).as("id"),
       Gf.simhash64(TextOps.tokens(col(textCol))).as("sh"))
-    val chunks = array((0 until 4).map(b => struct(
+    val chunks = array((0 until bands).map(b => struct(
       lit(b).as("band"),
-      shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)
+      shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask)).as("chunk"))): _*)
     hashed.select(col("id"), col("sh"), explode(chunks).as("bc"))
       .select(col("id"), col("sh"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
   }
@@ -124,8 +130,9 @@ object Dedup {
     * 64-bit hash instead of a 64-long signature) for corpora where
     * near-dups keep most token votes intact. */
   def simhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                          shingleK: Int = 3, threshold: Double = 0.9): DataFrame = {
-    val banded = simhashBanded(df, idCol, textCol)
+                          shingleK: Int = 3, threshold: Double = 0.9,
+                          bands: Int = 8): DataFrame = {
+    val banded = simhashBanded(df, idCol, textCol, bands)
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "chunk"))

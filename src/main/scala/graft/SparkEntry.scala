@@ -390,6 +390,141 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    // --- trajectory metrics (A13, reference _custom_metrics.py:45-100):
+    // per-user ordered paths; haversine-mean + element-wise accuracy are
+    // driver-certified (closed-form SQL); exact DTW is spec-pinned
+    // (TrajectorySpec) since dynamic programming is not SQL-expressible. ---
+    "q30_trajectory_metrics" -> ((s, dir) => {
+      val ev = t(prep(s), dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"),
+        ((col("event_id") % 3600) / 10.0 - 180.0 + 0.05).as("lng"),
+        (((col("event_id") * 7) % 1200) / 10.0 - 60.0 + 0.05).as("lat"))
+        .withColumn("lngp", col("lng") + (pmod(col("user_id"), lit(7)) - 3) * 0.02)
+        .withColumn("latp", col("lat") + (pmod(col("user_id"), lit(5)) - 2) * 0.02)
+        .withColumn("tl", concat_ws("_",
+          DerivedGeo.tileX(col("lng"), 6).cast("string"),
+          DerivedGeo.tileY(col("lat"), 6).cast("string")))
+        .withColumn("tp", concat_ws("_",
+          DerivedGeo.tileX(col("lngp"), 6).cast("string"),
+          DerivedGeo.tileY(col("latp"), 6).cast("string")))
+      val seqs = ev.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          array(col("lat"), col("lng")).as("lab"),
+          array(col("latp"), col("lngp")).as("prd"),
+          col("tl"), col("tp")))).as("s"))
+      // per-pair distances round to mm, then order-independent decimal mean
+      val pairDist = zip_with(col("s.lab"), col("s.prd"), (a, b) =>
+        round(Gf.haversineM(a.getItem(0), a.getItem(1),
+          b.getItem(0), b.getItem(1)), 3).cast("decimal(25,6)"))
+      seqs.select(
+        col("user_id"),
+        (aggregate(pairDist, lit(0).cast("decimal(30,6)"),
+          (acc, x) => (acc + x).cast("decimal(30,6)"))
+          .cast("double") / size(col("s.lab"))).as("hav_mean_m"),
+        operators.Trajectory.sequenceAccuracy(col("s.tl"), col("s.tp")).as("tile_acc"),
+        size(col("s.lab")).as("n_points"))
+        .withColumn("hav_mean_m", round(col("hav_mean_m"), 6))
+        .orderBy("user_id")
+    }),
+
+    // --- st_union_agg (SURVEY §2.9): dissolve each z2 parent's distinct
+    // z6 tiles into one geometry; tiles are disjoint, so the union's area
+    // equals the closed-form per-tile sum the oracle computes. ---
+    "q31_union_tiles" -> ((s, dir) => {
+      val tiles = DerivedGeo.points(prep(s), dir)
+        .select(DerivedGeo.tileX(col("lng"), 6).as("x"),
+          DerivedGeo.tileY(col("lat"), 6).as("y"))
+        .dropDuplicates("x", "y")
+      tiles
+        .withColumn("parent", concat_ws("_",
+          floor(col("x") / 16).cast("int").cast("string"),
+          floor(col("y") / 16).cast("int").cast("string"), lit("2")))
+        .groupBy("parent")
+        .agg(count(lit(1)).as("n_tiles"),
+          round(Gf.stArea(Gf.stUnionAgg(
+            Gf.slippyBoundary(col("x"), col("y"), 6))), 6).as("union_area"))
+        .orderBy("parent")
+    }),
+
+    // --- GTFS join chain (L8, reference gtfs_loader.py:60-193): synthetic
+    // GTFS-shaped stop_times ⋈ trips ⋈ stops with per-hour distinct-trip
+    // counts and headsign direction sets. ---
+    "q32_gtfs" -> ((s, dir) => {
+      prep(s)
+      import s.implicits._
+      val trips = s.range(200).select(
+        concat(lit("t"), col("id")).as("trip_id"),
+        concat(lit("HS"), pmod(col("id"), lit(7))).as("trip_headsign"))
+      val stops = s.range(40).select(
+        concat(lit("s"), col("id")).as("stop_id"),
+        (col("id") / 10.0).as("stop_lon"), (col("id") / 20.0).as("stop_lat"))
+      val stopTimes = s.range(4000).select(
+        concat(lit("t"), pmod(col("id"), lit(200))).as("trip_id"),
+        concat(lit("s"), pmod(col("id") * 7, lit(40))).as("stop_id"),
+        when(pmod(col("id"), lit(11)) === 0, lit(null))
+          .otherwise(concat(
+            lpad(pmod(col("id") * 13, lit(30)).cast("string"), 2, "0"), lit(":"),
+            lpad(pmod(col("id"), lit(60)).cast("string"), 2, "0"), lit(":00")))
+          .as("departure_time"))
+      operators.Gtfs.transform(stopTimes, trips, stops)
+        .withColumn("lng", Gf.stCentroidX(col(Tables.Geometry)))
+        .withColumn("lat", Gf.stCentroidY(col(Tables.Geometry)))
+        .drop(Tables.Geometry)
+        .orderBy("stop_id")
+    }),
+
+    // --- OSM way-attribute normalization (L9 second half, reference
+    // osm_way_loader.py:304-374): every sanitize/normalize rule exercised
+    // by a fixed variant table; the oracle maps each variant to its
+    // hand-computed reference result. ---
+    "q33_way_normalize" -> ((s, dir) => {
+      prep(s)
+      val raw = s.range(1200).select(
+        col("id"),
+        element_at(typedlit(Seq("residential", "primary", "none", null)),
+          pmod(col("id"), lit(4)).cast("int") + 1).as("highway"),
+        element_at(typedlit(Seq("50", "50 km/h", "30 mph", "signals", "DE:urban",
+          "AT:walk", "AU:urban", null, "none", "7", "120", "1000")),
+          pmod(col("id"), lit(12)).cast("int") + 1).as("maxspeed"),
+        element_at(typedlit(Seq("2", "2.5", "20", "abc", null, "3")),
+          pmod(col("id"), lit(6)).cast("int") + 1).as("lanes"),
+        element_at(typedlit(Seq("3.5", "4 m", "12'", "10ft", "100", "nan", null)),
+          pmod(col("id"), lit(7)).cast("int") + 1).as("width"))
+      operators.WayNormalizer.normalize(raw,
+        Seq("highway", "maxspeed", "lanes", "width"))
+        .orderBy("id")
+    }),
+
+    // --- HF trajectory preprocessing (L11, reference _base.py:455-525):
+    // 85% sequence split, distinct-cell lengths, duration, equal-width
+    // stratification bins. Sequences use slippy ids so the oracle is
+    // closed-form; the H3-sequence variant is spec-pinned. ---
+    "q34_hmp_preprocess" -> ((s, dir) => {
+      val ev = t(prep(s), dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"),
+        concat_ws("_",
+          DerivedGeo.tileX((col("event_id") % 3600) / 10.0 - 180.0 + 0.05, 6).cast("string"),
+          DerivedGeo.tileY(((col("event_id") * 7) % 1200) / 10.0 - 60.0 + 0.05, 6).cast("string"))
+          .as("cell"))
+      val seqs = ev.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(
+          struct(col("ts"), col("event_id")).as("o"), col("cell").as("p")))).as("sm"))
+        .select(col("user_id"), col("sm.p").as("h3_sequence"),
+          transform(col("sm.o.ts"), t =>
+            unix_micros(t.cast("timestamp")) / 1e6).as("ts_seq"))
+      val pre = operators.Trajectory.stratificationBin(
+        operators.Trajectory.ttePreprocess(
+          operators.Trajectory.hmpPreprocess(seqs, "h3_sequence")
+            .withColumnRenamed("stratify_col", "hmp_stratify")
+            .withColumn("stratify_col", col("hmp_stratify")), "ts_seq")
+          .withColumnRenamed("stratify_col", "duration_s")
+          .withColumn("stratify_col", col("hmp_stratify")), 8)
+      pre.select(col("user_id"), size(col("h3_sequence")).as("n"),
+        col("x_len"), col("y_len"), col("hmp_stratify").as("stratify_col"),
+        col("stratification_bin"), round(col("duration_s"), 6).as("duration_s"))
+        .orderBy("user_id")
+    }),
+
     "q09_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(prep(s), dir, "events")
@@ -729,6 +864,109 @@ object SparkEntry {
         |  CAST(COALESCE(a, 0) AS INT) AS amenity_restaurant,
         |  CAST(COALESCE(l, 0) AS INT) AS leisure_park
         |FROM r LEFT JOIN c USING (region_id) ORDER BY region_id""".stripMargin,
+
+    "q30_trajectory_metrics" -> {
+      val hav = graft.functions.Gf.haversineSql("lat", "lng", "latp", "lngp")
+      val xl = DerivedGeo.tileXSql("lng", 6); val yl = DerivedGeo.tileYSql("lat", 6)
+      val xp = DerivedGeo.tileXSql("lngp", 6); val yp = DerivedGeo.tileYSql("latp", 6)
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |    (event_id % 3600) / 10.0 - 180.0 + 0.05 AS lng,
+         |    ((event_id * 7) % 1200) / 10.0 - 60.0 + 0.05 AS lat
+         |  FROM events),
+         |e2 AS (SELECT *, lng + (user_id % 7 - 3) * 0.02 AS lngp,
+         |               lat + (user_id % 5 - 2) * 0.02 AS latp FROM ev),
+         |e3 AS (SELECT user_id,
+         |    CAST(round($hav, 3) AS DECIMAL(25,6)) AS d,
+         |    CASE WHEN $xl = $xp AND $yl = $yp THEN 1 ELSE 0 END AS m
+         |  FROM e2)
+         |SELECT user_id,
+         |  round(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS hav_mean_m,
+         |  CAST(SUM(m) AS DOUBLE) / COUNT(*) AS tile_acc,
+         |  CAST(COUNT(*) AS INT) AS n_points
+         |FROM e3 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // disjoint z6 tiles: dissolved-union area == closed-form per-tile sum
+    "q31_union_tiles" -> {
+      val x = DerivedGeo.tileXSql("lng", 6)
+      val y = DerivedGeo.tileYSql("lat", 6)
+      s"""WITH p AS (${DerivedGeo.pointsSql}),
+         |t AS (SELECT DISTINCT $x AS x, $y AS y FROM p),
+         |a AS (SELECT x, y,
+         |    degrees(atan((exp(pi() * (1 - 2 * y / 64.0)) - exp(-pi() * (1 - 2 * y / 64.0))) / 2)) AS ymax,
+         |    degrees(atan((exp(pi() * (1 - 2 * (y + 1) / 64.0)) - exp(-pi() * (1 - 2 * (y + 1) / 64.0))) / 2)) AS ymin
+         |  FROM t)
+         |SELECT CONCAT_WS('_', CAST(x // 16 AS VARCHAR), CAST(y // 16 AS VARCHAR), '2') AS parent,
+         |  COUNT(*) AS n_tiles,
+         |  round(SUM((360.0 / 64.0) * (ymax - ymin)), 6) AS union_area
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q32_gtfs" -> {
+      val hourCols = (0 until 24).map { h =>
+        s"""  CAST(COUNT(DISTINCT j.trip_id) FILTER (WHERE hour = $h) AS BIGINT) AS trips_at_$h,
+           |  COALESCE(array_to_string(list_sort(list(DISTINCT trip_headsign) FILTER (WHERE hour = $h)), ','), '') AS directions_at_$h""".stripMargin
+      }.mkString(",\n")
+      s"""WITH trips AS (SELECT 't' || CAST(id AS VARCHAR) AS trip_id,
+         |        'HS' || CAST(id % 7 AS VARCHAR) AS trip_headsign FROM range(200) t(id)),
+         |stops AS (SELECT 's' || CAST(id AS VARCHAR) AS stop_id,
+         |        id / 10.0 AS lng, id / 20.0 AS lat FROM range(40) t(id)),
+         |st AS (SELECT 't' || CAST(id % 200 AS VARCHAR) AS trip_id,
+         |        's' || CAST((id * 7) % 40 AS VARCHAR) AS stop_id,
+         |        CASE WHEN id % 11 = 0 THEN NULL ELSE
+         |          lpad(CAST((id * 13) % 30 AS VARCHAR), 2, '0') || ':' ||
+         |          lpad(CAST(id % 60 AS VARCHAR), 2, '0') || ':00' END AS departure_time
+         |     FROM range(4000) t(id)),
+         |j AS (SELECT st.stop_id, st.trip_id, t.trip_headsign,
+         |        CAST(replace(substring(departure_time, 1, 2), ':', '') AS INT) % 24 AS hour
+         |      FROM st JOIN trips t USING (trip_id) WHERE departure_time IS NOT NULL),
+         |agg AS (SELECT stop_id,
+         |$hourCols
+         |  FROM j GROUP BY stop_id)
+         |SELECT s.stop_id, agg.* EXCLUDE (stop_id), s.lng, s.lat
+         |FROM stops s JOIN agg USING (stop_id) ORDER BY s.stop_id""".stripMargin
+    },
+
+    "q33_way_normalize" ->
+      """SELECT id,
+        |  CASE id % 4 WHEN 0 THEN 'residential' WHEN 1 THEN 'primary' ELSE 'None' END AS highway,
+        |  CASE id % 12 WHEN 3 THEN 'None' WHEN 5 THEN '5' WHEN 6 THEN 'None'
+        |    WHEN 7 THEN 'None' WHEN 8 THEN 'None' WHEN 9 THEN '7'
+        |    WHEN 10 THEN '120' WHEN 11 THEN '200' ELSE '50' END AS maxspeed,
+        |  CASE id % 6 WHEN 2 THEN '15' WHEN 3 THEN 'None' WHEN 4 THEN 'None'
+        |    WHEN 5 THEN '3' ELSE '2' END AS lanes,
+        |  CASE id % 7 WHEN 0 THEN '3.5' WHEN 1 THEN '4.0' WHEN 2 THEN '0.5'
+        |    WHEN 3 THEN '3.0' WHEN 4 THEN '30.0' ELSE 'None' END AS width
+        |FROM range(1200) t(id) ORDER BY id""".stripMargin,
+
+    "q34_hmp_preprocess" -> {
+      val x = DerivedGeo.tileXSql("(event_id % 3600) / 10.0 - 180.0 + 0.05", 6)
+      val y = DerivedGeo.tileYSql("((event_id * 7) % 1200) / 10.0 - 60.0 + 0.05", 6)
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+         |    CONCAT_WS('_', CAST($x AS VARCHAR), CAST($y AS VARCHAR)) AS cell
+         |  FROM events),
+         |sq AS (SELECT user_id, list(cell ORDER BY ts, event_id) AS seq,
+         |              list(ts ORDER BY ts, event_id) AS tss
+         |       FROM ev GROUP BY 1),
+         |sp AS (SELECT user_id, len(seq) AS n,
+         |    CASE WHEN CAST(floor(len(seq) * 0.85) AS INT) = len(seq) THEN len(seq) - 1
+         |         ELSE CAST(floor(len(seq) * 0.85) AS INT) END AS k, seq, tss FROM sq),
+         |d AS (SELECT user_id, n,
+         |    len(list_distinct(seq[1:k])) AS x_len,
+         |    len(list_distinct(seq[k+1:n])) AS y_len,
+         |    CASE WHEN n < 2 THEN 0.0 ELSE epoch(tss[n]) - epoch(tss[1]) END AS dur
+         |  FROM sp),
+         |st AS (SELECT min(x_len + y_len) AS mn, max(x_len + y_len) AS mx FROM d)
+         |SELECT user_id, CAST(n AS INT) AS n, CAST(x_len AS INT) AS x_len,
+         |  CAST(y_len AS INT) AS y_len,
+         |  CAST(x_len + y_len AS DOUBLE) AS stratify_col,
+         |  CAST(CASE WHEN mx = mn THEN 0 ELSE
+         |    least(CAST(floor((x_len + y_len - mn) / ((mx - mn) / 8.0)) AS INT), 7)
+         |  END AS INT) AS stratification_bin,
+         |  round(dur, 6) AS duration_s
+         |FROM d, st ORDER BY user_id""".stripMargin
+    },
 
     "q09_sessionize" ->
       """WITH e AS (

@@ -61,6 +61,24 @@ object Neighbourhoods {
       .dropDuplicates("cell")
       .select(Gf.h3Str(col("cell")).as(Tables.RegionsIndex))
 
+  /** Buffered bounding geometry of a cell set (reference: srai/h3.py:229-263
+    * `ring_buffer_geometry`): k-ring buffer the cells, then dissolve the hex
+    * boundaries into ONE geometry with the distributed union aggregate
+    * (map-side partial unions — no driver-side geometry loop). */
+  def h3RingBufferGeometry(regions: DataFrame, k: Int): DataFrame =
+    h3RingBuffer(regions, k)
+      .select(Gf.h3Boundary(Gf.h3FromStr(col(Tables.RegionsIndex))).as("g"))
+      .agg(Gf.stUnionAgg(col("g")).as(Tables.Geometry))
+
+  /** Geometry-input variant (reference signature: geometry + resolution +
+    * distance): cover with H3 (intersects mode, srai's buffer=True), then
+    * buffer + dissolve. */
+  def ringBufferGeometry(areas: DataFrame, resolution: Int, k: Int): DataFrame =
+    h3RingBufferGeometry(
+      areas.select(explode(Gf.h3Cover(col(Tables.Geometry), resolution)).as("c"))
+        .select(Gf.h3Str(col("c")).as(Tables.RegionsIndex))
+        .dropDuplicates(Tables.RegionsIndex), k)
+
   /** Hop-distance closure up to `k` over an edge table: (region_id,
     * neighbour_id, distance) with the MINIMUM hop distance, distances
     * 1..k, self excluded. BFS = k rounds of frontier⋈edges (Pregel-lite,

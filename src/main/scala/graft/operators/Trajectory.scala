@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Gf
+
+/** Trajectory operators: sequence metrics over paired (pred, label) paths
+  * (reference: srai/benchmark/_custom_metrics.py:45-100) and the HF-dataset
+  * trajectory preprocessing (reference: srai/datasets/_base.py:455-525).
+  *
+  * A trajectory is a row with ordered array columns — built distributed via
+  * groupBy(traj_id) + sort_array(collect_list(struct(order_key, payload)))
+  * (one shuffle keyed by trajectory id; each group is one vehicle/user
+  * track, bounded in practice). All metrics are per-row projections after
+  * that — embarrassingly parallel.
+  */
+object Trajectory {
+
+  /** (traj_id, seq) — ordered per-trajectory array of `payload` ordered by
+    * `orderBy` columns (ties broken by the full struct comparison). */
+  def collectSequence(df: DataFrame, trajId: String, orderCol: Column,
+                      payload: Column): DataFrame =
+    df.groupBy(col(trajId))
+      .agg(sort_array(collect_list(struct(orderCol.as("o"), payload.as("p"))))
+        .as("s"))
+      .select(col(trajId), col("s.p").as("seq"))
+
+  /** Element-wise mean haversine distance (meters) between two equal-length
+    * [lat, lng] paths (reference `haversine_sequence`, zip semantics:
+    * truncates to the shorter length; empty → null). Pure built-in column
+    * math — stays in codegen and mirrors 1:1 into the SQL oracle. */
+  def haversineMean(a: Column, b: Column): Column = {
+    // python zip TRUNCATES to the shorter sequence; Spark zip_with pads
+    // with nulls — slice both sides first
+    val n = least(size(a), size(b))
+    val pairDist = zip_with(slice(a, lit(1), n), slice(b, lit(1), n), (p, q) =>
+      Gf.haversineM(p.getItem(0), p.getItem(1), q.getItem(0), q.getItem(1)))
+    when(size(pairDist) > 0,
+      aggregate(pairDist, lit(0.0), (acc, x) => acc + x) / size(pairDist))
+  }
+
+  /** Element-wise exact-match fraction between two sequences (reference
+    * `sequence_accuracy`; zip truncates to the shorter). */
+  def sequenceAccuracy(a: Column, b: Column): Column = {
+    val n = least(size(a), size(b))
+    val matches = zip_with(slice(a, lit(1), n), slice(b, lit(1), n),
+      (x, y) => (x === y).cast("int"))
+    when(size(matches) > 0,
+      aggregate(matches, lit(0), (acc, x) => acc + x).cast("double") / size(matches))
+  }
+
+  /** Exact DTW distance between [lat, lng] paths (haversine point metric);
+    * reference `dtw_distance` uses the fastdtw approximation — this is the
+    * exact DP (documented deviation, see [[graft.functions.DtwLatLng]]). */
+  def dtwDistance(a: Column, b: Column): Column = Gf.dtwLatLng(a, b)
+
+  /** H3-sequence variants: decode cell ids to [lat, lng] centers first
+    * (reference passes h3 index sequences). */
+  def h3ToPath(seq: Column): Column =
+    transform(seq, c => Gf.h3LatLng(Gf.h3FromStr(c)))
+
+  /** HF HMP-task preprocessing (reference _base.py:502-521): split the
+    * sequence at 85% (never empty y), x/y distinct-cell lengths, stratify
+    * by their sum. */
+  def hmpPreprocess(df: DataFrame, seqCol: String): DataFrame = {
+    val n = size(col(seqCol))
+    val rawIdx = floor(n.cast("double") * 0.85).cast("int")
+    val splitIdx = when(rawIdx === n, n - 1).otherwise(rawIdx)
+    df.withColumn("h3_sequence_x", slice(col(seqCol), lit(1), splitIdx))
+      .withColumn("h3_sequence_y",
+        slice(col(seqCol), splitIdx + 1, n - splitIdx))
+      .withColumn("x_len", size(array_distinct(col("h3_sequence_x"))))
+      .withColumn("y_len", size(array_distinct(col("h3_sequence_y"))))
+      .withColumn("stratify_col", (col("x_len") + col("y_len")).cast("double"))
+  }
+
+  /** HF TTE-task preprocessing (reference _base.py:482-499): duration in
+    * seconds between first and last timestamp (< 2 points → 0.0). */
+  def ttePreprocess(df: DataFrame, tsSeqCol: String): DataFrame =
+    df.withColumn("stratify_col",
+      when(size(col(tsSeqCol)) < 2, lit(0.0))
+        .otherwise((element_at(col(tsSeqCol), -1).cast("double") -
+          element_at(col(tsSeqCol), 1).cast("double"))))
+
+  /** Equal-width stratification bins over `stratify_col` (reference
+    * `pd.cut(..., bins=n_bins, labels=False)`: bin edges span
+    * [min, max] with the min edge nudged 0.1% down so the minimum lands in
+    * bin 0; values at max land in the last bin). Stats aggregate once. */
+  def stratificationBin(df: DataFrame, nBins: Int): DataFrame = {
+    val r = df.agg(min(col("stratify_col")).cast("double"),
+      max(col("stratify_col")).cast("double")).collect()(0)
+    val mn = r.getDouble(0); val mx = r.getDouble(1)
+    if (mx == mn) df.withColumn("stratification_bin", lit(0))
+    else {
+      val width = (mx - mn) / nBins
+      df.withColumn("stratification_bin",
+        least(floor((col("stratify_col") - mn) / width).cast("int"), lit(nBins - 1)))
+    }
+  }
+}

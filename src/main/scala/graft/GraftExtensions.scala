@@ -24,6 +24,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // graft join keys are DERIVED columns (cell ids computed from
+      // geometry) that are non-null by construction; constraint propagation
+      // would infer isnotnull(<whole derivation chain>) filters that
+      // re-evaluate the geometry→cell chain per row below the projection
+      // (round-1 "fast-path double-eval"). All graft expressions are
+      // null-intolerant, so the inferred filters can never drop a row.
+      .config("spark.sql.constraintPropagation.enabled", "false")
 
   private def finish(b: org.apache.spark.sql.SparkSession.Builder) = {
     val spark = b.getOrCreate()

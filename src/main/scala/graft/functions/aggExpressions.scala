@@ -179,6 +179,7 @@ case class StUnionAgg(
   * trajectory metrics). */
 case class H3LatLng(child: Expression) extends UnaryExpression {
   override def prettyName: String = "h3_latlng"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     CatalystHelpers.h3LatLng(v.asInstanceOf[Long])
@@ -198,6 +199,7 @@ case class H3LatLng(child: Expression) extends UnaryExpression {
 case class DtwLatLng(left: Expression, right: Expression)
   extends BinaryExpression with codegen.CodegenFallback {
   override def prettyName: String = "dtw_latlng"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     def path(d: ArrayData): Array[(Double, Double)] =

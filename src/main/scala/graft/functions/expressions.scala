@@ -32,6 +32,7 @@ abstract class GeoBinaryPredicate extends BinaryExpression {
   * `intersects`; here it's the exact refinement after the cell equi-join). */
 case class StIntersects(left: Expression, right: Expression) extends GeoBinaryPredicate {
   override def prettyName: String = "st_intersects"
+  override def nullIntolerant: Boolean = true
   protected def method = "intersects"
   protected def evalKernel(a: Array[Byte], b: Array[Byte]): Boolean = GeoOps.intersects(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
@@ -39,6 +40,7 @@ case class StIntersects(left: Expression, right: Expression) extends GeoBinaryPr
 
 case class StContains(left: Expression, right: Expression) extends GeoBinaryPredicate {
   override def prettyName: String = "st_contains"
+  override def nullIntolerant: Boolean = true
   protected def method = "contains"
   protected def evalKernel(a: Array[Byte], b: Array[Byte]): Boolean = GeoOps.contains(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
@@ -46,6 +48,7 @@ case class StContains(left: Expression, right: Expression) extends GeoBinaryPred
 
 case class StWithin(left: Expression, right: Expression) extends GeoBinaryPredicate {
   override def prettyName: String = "st_within"
+  override def nullIntolerant: Boolean = true
   protected def method = "within"
   protected def evalKernel(a: Array[Byte], b: Array[Byte]): Boolean = GeoOps.within(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
@@ -53,6 +56,7 @@ case class StWithin(left: Expression, right: Expression) extends GeoBinaryPredic
 
 case class StTouches(left: Expression, right: Expression) extends GeoBinaryPredicate {
   override def prettyName: String = "st_touches"
+  override def nullIntolerant: Boolean = true
   protected def method = "touches"
   protected def evalKernel(a: Array[Byte], b: Array[Byte]): Boolean = GeoOps.touches(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
@@ -61,6 +65,7 @@ case class StTouches(left: Expression, right: Expression) extends GeoBinaryPredi
 /** ContainsCentroid mode of the H3 regionalizer (srai/h3.py:78, buffer=False). */
 case class StContainsCentroid(left: Expression, right: Expression) extends GeoBinaryPredicate {
   override def prettyName: String = "st_contains_centroid"
+  override def nullIntolerant: Boolean = true
   protected def method = "containsCentroid"
   protected def evalKernel(a: Array[Byte], b: Array[Byte]): Boolean = GeoOps.containsCentroid(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
@@ -70,6 +75,7 @@ case class StContainsCentroid(left: Expression, right: Expression) extends GeoBi
 case class StIntersection(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "st_intersection"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def nullSafeEval(a: Any, b: Any): Any =
     GeoOps.intersection(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -80,6 +86,7 @@ case class StIntersection(left: Expression, right: Expression)
 
 case class StGeomFromText(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_geomfromtext"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def nullSafeEval(v: Any): Any = GeoOps.geomFromText(v.toString)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -89,6 +96,7 @@ case class StGeomFromText(child: Expression) extends UnaryExpression {
 
 case class StAsText(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_astext"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
     org.apache.spark.unsafe.types.UTF8String.fromString(
@@ -102,6 +110,7 @@ case class StAsText(child: Expression) extends UnaryExpression {
 case class StPoint(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "st_point"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def nullSafeEval(lng: Any, lat: Any): Any =
     GeoOps.makePoint(lng.asInstanceOf[Double], lat.asInstanceOf[Double])
@@ -115,6 +124,7 @@ case class StPoint(left: Expression, right: Expression)
 case class StBox(first: Expression, second: Expression, third: Expression,
                  fourth: Expression) extends QuaternaryExpression {
   override def prettyName: String = "st_box"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
     GeoOps.makeBox(a.asInstanceOf[Double], b.asInstanceOf[Double],
@@ -127,6 +137,7 @@ case class StBox(first: Expression, second: Expression, third: Expression,
 
 case class StArea(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_area"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any = GeoOps.area(v.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -138,6 +149,7 @@ case class StArea(child: Expression) extends UnaryExpression {
   * asc(st_xmin)) — reference s2vec/s2_utils.py:60-72). */
 case class StXMin(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_xmin"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any = GeoOps.envelope(v.asInstanceOf[Array[Byte]])(0)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -147,6 +159,7 @@ case class StXMin(child: Expression) extends UnaryExpression {
 
 case class StYMax(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_ymax"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any = GeoOps.envelope(v.asInstanceOf[Array[Byte]])(3)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -156,6 +169,7 @@ case class StYMax(child: Expression) extends UnaryExpression {
 
 case class StCentroidX(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_centroid_x"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any = GeoOps.centroidX(v.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -165,6 +179,7 @@ case class StCentroidX(child: Expression) extends UnaryExpression {
 
 case class StCentroidY(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_centroid_y"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any = GeoOps.centroidY(v.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -174,6 +189,7 @@ case class StCentroidY(child: Expression) extends UnaryExpression {
 
 case class StStartPoint(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_start_point"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def nullSafeEval(v: Any): Any = GeoOps.startPoint(v.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -183,6 +199,7 @@ case class StStartPoint(child: Expression) extends UnaryExpression {
 
 case class StEndPoint(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_end_point"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def nullSafeEval(v: Any): Any = GeoOps.endPoint(v.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -192,6 +209,7 @@ case class StEndPoint(child: Expression) extends UnaryExpression {
 
 case class StLength(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_length"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any = GeoOps.length(v.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -202,6 +220,7 @@ case class StLength(child: Expression) extends UnaryExpression {
 /** st_dump — multipolygon explode (reference: regionalizers/_base.py:26-36). */
 case class StDump(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_dump"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def nullSafeEval(v: Any): Any = CatalystHelpers.dump(v.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -217,6 +236,7 @@ case class StDump(child: Expression) extends UnaryExpression {
 case class S2CellId(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def prettyName: String = "s2_cell"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def nullSafeEval(lng: Any, lat: Any, lvl: Any): Any =
     CatalystHelpers.s2Cell(lng.asInstanceOf[Double], lat.asInstanceOf[Double],
@@ -231,6 +251,7 @@ case class S2CellId(first: Expression, second: Expression, third: Expression)
   * (s2_regionalizer.py:98-102). */
 case class S2Token(child: Expression) extends UnaryExpression {
   override def prettyName: String = "s2_token"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any = CatalystHelpers.s2Token(v.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -240,6 +261,7 @@ case class S2Token(child: Expression) extends UnaryExpression {
 
 case class S2FromToken(child: Expression) extends UnaryExpression {
   override def prettyName: String = "s2_from_token"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     CatalystHelpers.s2FromToken(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
@@ -253,6 +275,7 @@ case class S2FromToken(child: Expression) extends UnaryExpression {
 case class S2Children(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "s2_children"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(id: Any, lvl: Any): Any =
     CatalystHelpers.s2Children(id.asInstanceOf[Long], lvl.asInstanceOf[Int])
@@ -266,6 +289,7 @@ case class S2Children(left: Expression, right: Expression)
 case class S2Cover(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "s2_cover"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(wkb: Any, lvl: Any): Any =
     CatalystHelpers.s2Cover(wkb.asInstanceOf[Array[Byte]], lvl.asInstanceOf[Int])
@@ -277,6 +301,7 @@ case class S2Cover(left: Expression, right: Expression)
 /** s2_boundary(cell) — planar 4-vertex cell polygon (s2_regionalizer.py:98-102). */
 case class S2Boundary(child: Expression) extends UnaryExpression {
   override def prettyName: String = "s2_boundary"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def nullSafeEval(v: Any): Any = CatalystHelpers.s2Boundary(v.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -287,6 +312,7 @@ case class S2Boundary(child: Expression) extends UnaryExpression {
 case class S2Parent(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "s2_parent"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def nullSafeEval(id: Any, lvl: Any): Any =
     CatalystHelpers.s2Parent(id.asInstanceOf[Long], lvl.asInstanceOf[Int])
@@ -302,6 +328,7 @@ case class S2Parent(left: Expression, right: Expression)
 case class SlippyCover(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "slippy_cover"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("x", IntegerType, false), StructField("y", IntegerType, false))),
     containsNull = false)
@@ -315,6 +342,7 @@ case class SlippyCover(left: Expression, right: Expression)
 case class SlippyBoundary(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def prettyName: String = "slippy_boundary"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def nullSafeEval(x: Any, y: Any, z: Any): Any =
     CatalystHelpers.slippyBoundary(x.asInstanceOf[Int], y.asInstanceOf[Int], z.asInstanceOf[Int])

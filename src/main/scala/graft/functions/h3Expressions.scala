@@ -11,6 +11,7 @@ import hkernel.C
 case class H3CellExpr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def prettyName: String = "h3_cell"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def nullSafeEval(lng: Any, lat: Any, res: Any): Any =
     CatalystHelpers.h3Cell(lng.asInstanceOf[Double], lat.asInstanceOf[Double],
@@ -24,6 +25,7 @@ case class H3CellExpr(first: Expression, second: Expression, third: Expression)
 /** Lowercase hex string — srai's H3 region ids (srai/h3.py:88). */
 case class H3Str(child: Expression) extends UnaryExpression {
   override def prettyName: String = "h3_str"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any = CatalystHelpers.h3Str(v.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -33,6 +35,7 @@ case class H3Str(child: Expression) extends UnaryExpression {
 
 case class H3FromStr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "h3_from_str"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     CatalystHelpers.h3FromStr(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
@@ -46,6 +49,7 @@ case class H3FromStr(child: Expression) extends UnaryExpression {
 case class H3Cover(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def prettyName: String = "h3_cover"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(wkb: Any, res: Any, cc: Any): Any =
     CatalystHelpers.h3Cover(wkb.asInstanceOf[Array[Byte]], res.asInstanceOf[Int],
@@ -58,6 +62,7 @@ case class H3Cover(first: Expression, second: Expression, third: Expression)
 
 case class H3BoundaryExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "h3_boundary"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def nullSafeEval(v: Any): Any = CatalystHelpers.h3Boundary(v.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -68,6 +73,7 @@ case class H3BoundaryExpr(child: Expression) extends UnaryExpression {
 /** h3_grid_disk(cell, k) — N2 filled disk. */
 case class H3GridDisk(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "h3_grid_disk"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(id: Any, k: Any): Any =
     CatalystHelpers.h3GridDisk(id.asInstanceOf[Long], k.asInstanceOf[Int])
@@ -79,6 +85,7 @@ case class H3GridDisk(left: Expression, right: Expression) extends BinaryExpress
 /** h3_grid_ring(cell, k) — N3 hollow ring. */
 case class H3GridRing(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "h3_grid_ring"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(id: Any, k: Any): Any =
     CatalystHelpers.h3GridRing(id.asInstanceOf[Long], k.asInstanceOf[Int])
@@ -89,6 +96,7 @@ case class H3GridRing(left: Expression, right: Expression) extends BinaryExpress
 
 case class H3ParentExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "h3_parent"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def nullSafeEval(id: Any, res: Any): Any =
     CatalystHelpers.h3Parent(id.asInstanceOf[Long], res.asInstanceOf[Int])
@@ -99,6 +107,7 @@ case class H3ParentExpr(left: Expression, right: Expression) extends BinaryExpre
 
 case class H3ChildrenExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "h3_children"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(id: Any, res: Any): Any =
     CatalystHelpers.h3Children(id.asInstanceOf[Long], res.asInstanceOf[Int])
@@ -110,6 +119,7 @@ case class H3ChildrenExpr(left: Expression, right: Expression) extends BinaryExp
 /** h3_local_ij(origin, cell) → array<int>[i, j] (N7; errors on pentagons). */
 case class H3LocalIjExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "h3_local_ij"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(o: Any, c: Any): Any =
     CatalystHelpers.h3LocalIj(o.asInstanceOf[Long], c.asInstanceOf[Long])

@@ -11,6 +11,7 @@ import ikernel.I
   * PSNR ≥ 40 dB for lossy formats). */
 case class ImgPsnr(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "img_psnr"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     ImageOps.psnr(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -22,6 +23,7 @@ case class ImgPsnr(left: Expression, right: Expression) extends BinaryExpression
 /** img_phash(bytes) — 64-bit average perceptual hash. */
 case class ImgPhash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "img_phash"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = ImageOps.phash(v.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -31,6 +33,7 @@ case class ImgPhash(child: Expression) extends UnaryExpression {
 
 case class ImgWidth(child: Expression) extends UnaryExpression {
   override def prettyName: String = "img_width"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any = ImageOps.width(v.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -40,6 +43,7 @@ case class ImgWidth(child: Expression) extends UnaryExpression {
 
 case class ImgHeight(child: Expression) extends UnaryExpression {
   override def prettyName: String = "img_height"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any = ImageOps.height(v.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -50,6 +54,7 @@ case class ImgHeight(child: Expression) extends UnaryExpression {
 /** img_reencode(bytes, fmt) — decode + re-encode (tile sink path, SURVEY L6/L7). */
 case class ImgReencode(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "img_reencode"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
   override def nullSafeEval(a: Any, f: Any): Any =
     ImageOps.reencode(a.asInstanceOf[Array[Byte]], f.toString)
@@ -61,6 +66,7 @@ case class ImgReencode(left: Expression, right: Expression) extends BinaryExpres
 /** hamming64(a, b) — bit distance between 64-bit hashes (SimHash/pHash dedup). */
 case class Hamming64(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "hamming64"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
     ImageOps.hamming(a.asInstanceOf[Long], b.asInstanceOf[Long])

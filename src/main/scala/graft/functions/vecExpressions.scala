@@ -11,6 +11,7 @@ import vkernel.V
 /** vec_cosine(array<float>, array<float>) → double. */
 case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "vec_cosine"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     VecTextOps.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -22,6 +23,7 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
 /** simhash64(array<string>) → long. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     VecTextOps.simhash64(v.asInstanceOf[ArrayData])
@@ -33,6 +35,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 /** minhash_sig(array<string>, num_hashes) → array<long>. */
 case class MinhashSig(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "minhash_sig"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(sh: Any, n: Any): Any =
     VecTextOps.minhashSig(sh.asInstanceOf[ArrayData], n.asInstanceOf[Int])
@@ -45,6 +48,7 @@ case class MinhashSig(left: Expression, right: Expression) extends BinaryExpress
 case class HyperplaneSig(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def prettyName: String = "hyperplane_sig"
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any, p: Any, s: Any): Any =
     VecTextOps.hyperplaneSig(v.asInstanceOf[ArrayData], p.asInstanceOf[Int],

@@ -94,17 +94,28 @@ class IntersectionJoiner(
       case Some(true) => broadcast(regionCells)
       case _ => regionCells
     }
-    var joined = featureCells
+    val matched = featureCells
       .join(left, joinKeys, "inner")
       .where(Gf.stIntersects(rGeom, fGeom))
-      .select(col(RegionsIndex), col(FeaturesIndex), rGeom, fGeom)
-      .dropDuplicates(RegionsIndex, FeaturesIndex)
 
-    if (returnGeom)
-      joined.select(col(RegionsIndex), col(FeaturesIndex),
+    // Pair dedup is only needed when the same (region, feature) pair can
+    // meet in MORE THAN ONE cell — i.e. when the feature side is an exploded
+    // cover. A point maps to exactly one cell (and, when salted, to exactly
+    // one salt), so the fast path emits each pair once by construction and
+    // skips the dedup exchange entirely.
+    if (returnGeom) {
+      // the intersection geometry needs both geoms: compute it BEFORE the
+      // dedup so the exchange carries one result geometry, not two inputs
+      val withGeom = matched.select(col(RegionsIndex), col(FeaturesIndex),
         Gf.stIntersection(rGeom, fGeom).as(Geometry))
-    else
-      joined.select(col(RegionsIndex), col(FeaturesIndex))
+      if (pointFeatures) withGeom
+      else withGeom.dropDuplicates(RegionsIndex, FeaturesIndex)
+    } else {
+      // ids only — never shuffle WKB payload through the pair dedup
+      val pairs = matched.select(col(RegionsIndex), col(FeaturesIndex))
+      if (pointFeatures) pairs
+      else pairs.dropDuplicates(RegionsIndex, FeaturesIndex)
+    }
   }
 
   private def validate(df: DataFrame, side: String): Unit = {

@@ -28,6 +28,8 @@ object Neighbourhoods {
     a.join(b, Seq("cell"))
       .where(col("region_id") =!= col("neighbour_id") &&
         Gf.stTouches(col("g_a"), col("g_b")))
+      // project to ids BEFORE the dedup exchange — geometries must not ride
+      // the pair shuffle
       .select("region_id", "neighbour_id")
       .dropDuplicates("region_id", "neighbour_id")
   }

@@ -129,4 +129,43 @@ class LineageSinkSpec extends AnyFunSuite {
     assert(m3.count() === 10)
     assert(spark.read.parquet(s"$dir/data").count() === 1000)
   }
+
+  test("manifest is a file registry: commits never rescan, orphans are cleaned") {
+    val dir = java.nio.file.Files.createTempDirectory("lineage2").toString
+    val a = (0 until 100).map(i => (i.toLong, s"b${i % 2}")).toDF("id", "bucket")
+    LineageSink.write(a, dir, "bucket")
+    val m1 = LineageSink.manifest(spark, dir)
+    // every committed file appears in exactly one manifest row's file list
+    val registered = m1.select(explode(col("files"))).distinct().count()
+    assert(registered > 0)
+
+    // plant an orphan: an uncommitted data file from a "crashed" job
+    val bucketDir = new java.io.File(s"$dir/data/bucket=b0")
+    val victim = bucketDir.listFiles().find(_.getName.endsWith(".parquet")).get
+    val orphan = new java.io.File(bucketDir, "part-orphan.parquet")
+    java.nio.file.Files.copy(victim.toPath, orphan.toPath)
+    assert(spark.read.parquet(s"$dir/data").count() > 100) // duplicated rows visible
+
+    // next write cleans the orphan first → totals stay exact
+    val b = (100 until 150).map(i => (i.toLong, s"b${i % 2}")).toDF("id", "bucket")
+    LineageSink.write(b, dir, "bucket")
+    assert(!orphan.exists())
+    assert(spark.read.parquet(s"$dir/data").count() === 150)
+    val m2 = LineageSink.manifest(spark, dir)
+    assert(m2.agg(sum("rows")).collect()(0).getLong(0) === 150)
+    // second commit added only the new files (no rescan/recount of job 1)
+    assert(m2.select("job_id").distinct().count() === 2)
+  }
+
+  test("writeGrouped commits in bucket groups and resumes at group granularity") {
+    val dir = java.nio.file.Files.createTempDirectory("lineage3").toString
+    val full = (0 until 400).map(i => (i.toLong, s"b${i % 8}")).toDF("id", "bucket")
+    val m = LineageSink.writeGrouped(full, dir, "bucket", groups = 4)
+    assert(m.count() === 8)
+    assert(m.select("job_id").distinct().count() >= 2) // multiple commits
+    assert(spark.read.parquet(s"$dir/data").count() === 400)
+    // rerun is a no-op at bucket granularity
+    LineageSink.writeGrouped(full, dir, "bucket", groups = 4)
+    assert(spark.read.parquet(s"$dir/data").count() === 400)
+  }
 }

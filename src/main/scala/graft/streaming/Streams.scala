@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming forms of the engine's stateless/windowed operators.
@@ -48,5 +49,52 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"), col("tile_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour"), col("tile_id"), col("n"))
+  }
+
+  case class SessEvent(user_id: Long, tsMs: Long, event_id: Long)
+  case class SessState(sessionSeq: Long, lastTsMs: Long, nEvents: Long,
+                       startTsMs: Long)
+  case class SessionRow(user_id: Long, session_seq: Long,
+                        session_start_ms: Long, n_events: Long)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState — the
+    * streaming form of q09_sessionize (same 30-minute gap rule). Each user
+    * key holds one small state record; a processing-time timeout flushes the
+    * open session. Per-batch events are sorted within the group (bounded:
+    * one user's per-batch slice), so results match the batch window exactly
+    * when events arrive in order. */
+  def sessionize(events: Dataset[SessEvent],
+                 gapMs: Long = 1800000L): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionRow(user, s.sessionSeq, s.startTsMs, s.nEvents))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.tsMs, e.event_id))
+            var closed = List.empty[SessionRow]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMs - s.lastTsMs <= gapMs =>
+                  cur = Some(s.copy(lastTsMs = e.tsMs, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= SessionRow(user, s.sessionSeq, s.startTsMs, s.nEvents)
+                  cur = Some(SessState(s.sessionSeq + 1, e.tsMs, 1, e.tsMs))
+                case None =>
+                  cur = Some(SessState(1, e.tsMs, 1, e.tsMs))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
   }
 }

@@ -35,6 +35,33 @@ object Bench {
       .groupBy("region_id").agg(count(lit(1)).as("n"))
   }
 
+  /** The round-1 flagship shape at data scale: H3 regionalize a fixed area,
+    * cell-join the full synthetic point field, CountEmbedder the result —
+    * one lazy plan exercising regionalizer + joiner + embedder together
+    * (the golden-certified q29 runs the same pipeline on the small
+    * reference snapshot; this probe measures it on sf-scale data). */
+  private def flagshipSynth(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Geo
+    import graft.functions.Gf
+    import graft.operators._
+    graft.functions.Gf.register(s)
+    val area = s.createDataFrame(Seq(
+      Tuple1(Geo.toWkb(Geo.box(-170.0, -10.0, -140.0, 15.0)))))
+      .toDF(Tables.Geometry)
+    val regions = new H3Regionalizer(3).transform(area)
+    val features = graft.sources.DerivedGeo.points(s, dir)
+      .select(col("point_id").cast("string").as(Tables.FeaturesIndex),
+        Gf.stPoint(col("lng"), col("lat")).as(Tables.Geometry),
+        when(col("point_id") % 3 === 0, lit("shop"))
+          .when(col("point_id") % 3 === 1, lit("park"))
+          .otherwise(lit(null)).as("amenity"))
+      .where(col("lng").between(-175, -135) && col("lat").between(-15, 20))
+    val joint = new IntersectionJoiner(cellLevel = 4, pointFeatures = true,
+      broadcastRegions = Some(true)).transform(regions, features)
+    new CountEmbedder(Seq("amenity_shop", "amenity_park"), countSubcategories = true)
+      .transform(regions, features, joint)
+  }
+
   val headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> SparkEntry.queries("q01_pricing_summary"), // scan-heavy hash agg
     "q05_tile_assign" -> SparkEntry.queries("q05_tile_assign"),         // pure-math tile assignment
@@ -48,6 +75,7 @@ object Bench {
     "q19_embed_neardup" -> SparkEntry.queries("q19_embed_neardup"),     // hyperplane LSH + cosine verify
     "q20_ann_topk" -> SparkEntry.queries("q20_ann_topk"),               // brute-force ANN (bounded top-k)
     "h3_assign_points" -> (h3AssignPoints _),                           // scalar H3 assignment over points
+    "flagship_synth" -> (flagshipSynth _),                               // regionalize→join→embed, one plan
     "q28_skew_spatial_join" -> SparkEntry.queries("q28_skew_spatial_join")) // hotspot-skewed salted join
 
   // Queries whose wall-time together defines images/sec (each synthesizes

@@ -57,6 +57,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
   }
 
+  test("lineage-sink layout prunes partitions on bucket predicates") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("prune").toString
+    val df = (0 until 200).map(i => (i.toLong, s"b${i % 10}")).toDF("id", "bucket")
+    graft.sources.LineageSink.write(df, out, "bucket")
+    val read = spark.read.parquet(s"$out/data").where(col("bucket") === "b3")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [(bucket"),
+      s"bucket predicate not pruning partitions:\n${p.take(1200)}")
+    assert(read.count() === 20)
+  }
+
   test("AQE and skew-join handling enabled in the session") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")

@@ -69,6 +69,44 @@ class PlanSpec extends AnyFunSuite {
     assert(read.count() === 20)
   }
 
+  test("minhash/simhash/LSH: no array payload rides a multi-key (band/pair) exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.ArrayType
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q18_minhash_neardup", "q22_simhash_neardup", "q21_ann_lsh")) {
+        val df = SparkEntry.queries(q)(spark, dir)
+        val shuffles = df.queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeExec => s
+        }
+        assert(shuffles.nonEmpty)
+        shuffles.foreach { s =>
+          val keys = s.outputPartitioning match {
+            case h: HashPartitioning => h.expressions.length
+            case _ => 0
+          }
+          val arrays = s.output.filter(_.dataType.isInstanceOf[ArrayType])
+          // banding exchanges (band, hash) and pair-dedup exchanges
+          // (id_a, id_b) are multi-key: they must be payload-free; only the
+          // single-id join-backs may carry the shingle/vector arrays once
+          if (keys >= 2)
+            assert(arrays.isEmpty,
+              s"$q: multi-key exchange carries arrays ${arrays.map(_.name)}")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ANN top-k and patch grid plans contain no Window operator") {
+    for (q <- Seq("q20_ann_topk", "q21_ann_lsh", "q12_patch_grid")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$q plan has a window:\n${p.take(1500)}")
+    }
+  }
+
   test("AQE and skew-join handling enabled in the session") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")

@@ -23,6 +23,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fixed Voronoi seeds (q37) — a REGIONAL constellation (the gnomonic
+    * cell construction covers a hemisphere around each seed, so cells of a
+    * globe-spanning seed set cannot be represented as plain lng/lat
+    * polygons near the antimeridian); coordinates are offset off the 0.05°
+    * point grid so no synthetic point is ever equidistant to two seeds. */
+  val voronoiSeeds: Seq[(Double, Double)] = Seq(
+    (-53.4567, 41.1234), (-37.8912, -12.3456), (14.6789, 41.9876),
+    (38.1357, -33.2468), (3.9753, 8.8642), (-41.2345, -37.6543),
+    (47.4321, 22.1357), (-10.8642, -5.9753))
+
   /** Flagship: cell-indexed spatial join (points-in-rect-regions) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     queries("q06_spatial_join")(spark, "/root/testdata/sf0.001")
@@ -525,6 +535,66 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // --- ContextualCountEmbedder concatenated form (A3) over the golden
+    // region set — same IJ-fixture SQL recompute as q27, per-distance
+    // blocks instead of the squash. ---
+    "q35_h3_contextual_concat" -> ((s, dir) => {
+      prep(s)
+      val hex = "/root/reference/tests/embedders/hex2vec/test_files"
+      val regions = s.read.parquet(s"$hex/poz_8_regions.parquet")
+        .select(col("region_id").as(Tables.RegionsIndex))
+      val counts = regions.join(
+        s.read.parquet(s"$hex/poz_8_joint.parquet").groupBy("region_id")
+          .agg(count(lit(1)).cast("int").as("cnt")),
+        Seq(Tables.RegionsIndex), "left").na.fill(0, Seq("cnt"))
+      val closure = Neighbourhoods.h3Closure(regions, 2)
+      new ContextualCountEmbedder(closure, 2, concatenate = true)
+        .transform(counts)
+        .orderBy(Tables.RegionsIndex)
+    }),
+
+    // --- exact-median aggregation (A4) through the same topology:
+    // reference is exact np.nanmedian; Spark median() and DuckDB median()
+    // both interpolate the two middle values, so the oracle is exact. ---
+    "q36_h3_contextual_median" -> ((s, dir) => {
+      prep(s)
+      val hex = "/root/reference/tests/embedders/hex2vec/test_files"
+      val regions = s.read.parquet(s"$hex/poz_8_regions.parquet")
+        .select(col("region_id").as(Tables.RegionsIndex))
+      val counts = regions.join(
+        s.read.parquet(s"$hex/poz_8_joint.parquet").groupBy("region_id")
+          .agg(count(lit(1)).cast("int").as("cnt")),
+        Seq(Tables.RegionsIndex), "left").na.fill(0, Seq("cnt"))
+      val closure = Neighbourhoods.h3Closure(regions, 2)
+      new ContextualCountEmbedder(closure, 2, concatenate = true,
+        aggregation = "median")
+        .transform(counts)
+        .orderBy(Tables.RegionsIndex)
+    }),
+
+    // --- spherical Voronoi end-to-end (R4): regionalize 8 fixed seeds,
+    // assign every synthetic point through the cell-indexed point join; the
+    // oracle recomputes the assignment as a great-circle argmin (the
+    // definition of a Voronoi cell), certifying the clipped geometry. ---
+    "q37_voronoi_assign" -> ((s, dir) => {
+      prep(s)
+      import s.implicits._
+      val seedPts = voronoiSeeds.map { case (lngS, latS) =>
+        Tuple1(graft.core.Geo.toWkb(graft.core.Geo.point(lngS, latS)))
+      }.toDF(Tables.Geometry)
+      // 60° cell radius: every window point is well within it of its
+      // nearest seed, so the cells tile the whole tested window
+      val regions = new VoronoiRegionalizer(maxRadiusDeg = 60).transform(seedPts)
+      val features = DerivedGeo.points(s, dir)
+        .where(col("lng").between(-50, 45) && col("lat").between(-35, 40))
+        .select(col("point_id").cast("string").as(Tables.FeaturesIndex),
+          Gf.stPoint(col("lng"), col("lat")).as(Tables.Geometry))
+      val joint = new IntersectionJoiner(cellLevel = 5, pointFeatures = true,
+        broadcastRegions = Some(true)).transform(regions, features)
+      joint.groupBy(Tables.RegionsIndex).agg(count(lit(1)).as("n"))
+        .orderBy(Tables.RegionsIndex)
+    }),
+
     "q09_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(prep(s), dir, "events")
@@ -966,6 +1036,61 @@ object SparkEntry {
          |  END AS INT) AS stratification_bin,
          |  round(dur, 6) AS duration_s
          |FROM d, st ORDER BY user_id""".stripMargin
+    },
+
+    "q35_h3_contextual_concat" ->
+      """WITH r AS (SELECT region_id FROM read_parquet('/root/reference/tests/embedders/hex2vec/test_files/poz_8_regions.parquet')),
+        |jc AS (SELECT region_id, CAST(count(*) AS INT) AS c
+        |       FROM read_parquet('/root/reference/tests/embedders/hex2vec/test_files/poz_8_joint.parquet') GROUP BY 1),
+        |base AS (SELECT r.region_id, COALESCE(c, 0) AS c FROM r LEFT JOIN jc USING (region_id)),
+        |ij AS (SELECT region_id, i, j FROM read_parquet('/root/repo/fixtures/poz8_ij.parquet')),
+        |pairs AS (SELECT a.region_id, b.region_id AS nb,
+        |    (abs(a.i - b.i) + abs(a.j - b.j) + abs((a.i - b.i) - (a.j - b.j))) // 2 AS d
+        |  FROM ij a JOIN ij b ON a.region_id <> b.region_id),
+        |a1 AS (SELECT p.region_id, AVG(base.c) AS m FROM pairs p
+        |       JOIN base ON base.region_id = p.nb WHERE d = 1 GROUP BY 1),
+        |a2 AS (SELECT p.region_id, AVG(base.c) AS m FROM pairs p
+        |       JOIN base ON base.region_id = p.nb WHERE d = 2 GROUP BY 1)
+        |SELECT b.region_id, CAST(b.c AS DOUBLE) AS cnt_0,
+        |  COALESCE(a1.m, 0) AS cnt_1, COALESCE(a2.m, 0) AS cnt_2
+        |FROM base b LEFT JOIN a1 USING (region_id) LEFT JOIN a2 USING (region_id)
+        |ORDER BY region_id""".stripMargin,
+
+    "q36_h3_contextual_median" ->
+      """WITH r AS (SELECT region_id FROM read_parquet('/root/reference/tests/embedders/hex2vec/test_files/poz_8_regions.parquet')),
+        |jc AS (SELECT region_id, CAST(count(*) AS INT) AS c
+        |       FROM read_parquet('/root/reference/tests/embedders/hex2vec/test_files/poz_8_joint.parquet') GROUP BY 1),
+        |base AS (SELECT r.region_id, COALESCE(c, 0) AS c FROM r LEFT JOIN jc USING (region_id)),
+        |ij AS (SELECT region_id, i, j FROM read_parquet('/root/repo/fixtures/poz8_ij.parquet')),
+        |pairs AS (SELECT a.region_id, b.region_id AS nb,
+        |    (abs(a.i - b.i) + abs(a.j - b.j) + abs((a.i - b.i) - (a.j - b.j))) // 2 AS d
+        |  FROM ij a JOIN ij b ON a.region_id <> b.region_id),
+        |a1 AS (SELECT p.region_id, median(base.c) AS m FROM pairs p
+        |       JOIN base ON base.region_id = p.nb WHERE d = 1 GROUP BY 1),
+        |a2 AS (SELECT p.region_id, median(base.c) AS m FROM pairs p
+        |       JOIN base ON base.region_id = p.nb WHERE d = 2 GROUP BY 1)
+        |SELECT b.region_id, CAST(b.c AS DOUBLE) AS cnt_0,
+        |  CAST(COALESCE(a1.m, 0) AS DOUBLE) AS cnt_1,
+        |  CAST(COALESCE(a2.m, 0) AS DOUBLE) AS cnt_2
+        |FROM base b LEFT JOIN a1 USING (region_id) LEFT JOIN a2 USING (region_id)
+        |ORDER BY region_id""".stripMargin,
+
+    // great-circle argmin IS the Voronoi-cell definition — certifies the
+    // gnomonic-clipped spherical cell geometry through the point join
+    "q37_voronoi_assign" -> {
+      val seedRows = voronoiSeeds.zipWithIndex
+        .map { case ((lngS, latS), i) => s"($i, $lngS, $latS)" }.mkString(", ")
+      val hav = graft.functions.Gf.haversineSql("p.lat", "p.lng", "s.lat", "s.lng")
+      s"""WITH p0 AS (${DerivedGeo.pointsSql}),
+         |p AS (SELECT * FROM p0 WHERE lng BETWEEN -50 AND 45
+         |                         AND lat BETWEEN -35 AND 40),
+         |seeds(sid, lng, lat) AS (VALUES $seedRows),
+         |d AS (SELECT p.point_id, s.sid, $hav AS dist
+         |      FROM p, seeds s),
+         |best AS (SELECT point_id, sid, ROW_NUMBER() OVER (
+         |           PARTITION BY point_id ORDER BY dist, sid) AS rn FROM d)
+         |SELECT CAST(sid AS VARCHAR) AS region_id, COUNT(*) AS n
+         |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "q09_sessionize" ->

@@ -81,7 +81,7 @@ class H3Regionalizer(resolution: Int, buffer: Boolean = true) extends Regionaliz
   * small by construction (driver-side computation is the reference topology,
   * SURVEY §2.2 R4); the result broadcasts into joins like any regions
   * table. region_id = seed ordinal as string. */
-class VoronoiRegionalizer extends Regionalizer {
+class VoronoiRegionalizer(maxRadiusDeg: Double = 25.0) extends Regionalizer {
   override def transform(seedPoints: DataFrame): DataFrame = {
     validate(seedPoints)
     val spark = seedPoints.sparkSession
@@ -90,7 +90,7 @@ class VoronoiRegionalizer extends Regionalizer {
       require(g.getGeometryType == "Point", "Voronoi seeds must be points")
       (g.getCoordinate.x, g.getCoordinate.y)
     }.toSeq
-    val cells = graft.core.Voronoi.cells(seeds)
+    val cells = graft.core.Voronoi.cells(seeds, maxRadiusDeg = maxRadiusDeg)
     import spark.implicits._
     cells.zipWithIndex.map { case (g, i) =>
       (i.toString, graft.core.Geo.toWkb(g))

@@ -23,6 +23,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** 5×5 grid of EXACTLY-tiling rects (shared edges, no overlap) for the
+    * adjacency/BFS certificates — region r sits at grid (r%5, r/5). */
+  private def gridRegions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").select(
+      col("n_nationkey").cast("string").as(Tables.RegionsIndex),
+      Gf.stBox(
+        (col("n_nationkey") % 5) * 10 - 25,
+        floor(col("n_nationkey") / 5) * 8 - 20,
+        (col("n_nationkey") % 5) * 10 - 15,
+        floor(col("n_nationkey") / 5) * 8 - 12).as(Tables.Geometry))
+
   /** Fixed Voronoi seeds (q37) — a REGIONAL constellation (the gnomonic
     * cell construction covers a hemisphere around each seed, so cells of a
     * globe-spanning seed set cannot be represented as plain lng/lat
@@ -595,6 +606,25 @@ object SparkEntry {
         .orderBy(Tables.RegionsIndex)
     }),
 
+    // --- adjacency neighbourhood (N6): 5×5 exactly-tiling rect grid —
+    // JTS `touches` through the cell-indexed self-join must equal the
+    // closed-form queen neighbourhood (share an edge or a corner). ---
+    "q38_adjacency" -> ((s, dir) => {
+      val regions = gridRegions(prep(s), dir)
+      Neighbourhoods.adjacencyEdges(regions, cellLevel = 6)
+        .orderBy("region_id", "neighbour_id")
+    }),
+
+    // --- BFS hop closure (N5) over the same adjacency: queen-move hop
+    // distance on a grid IS the Chebyshev distance — closed form for the
+    // oracle, Pregel-lite frontier joins on the Spark side. ---
+    "q39_bfs_closure" -> ((s, dir) => {
+      val regions = gridRegions(prep(s), dir)
+      val edges = Neighbourhoods.adjacencyEdges(regions, cellLevel = 6)
+      Neighbourhoods.distanceClosure(edges, 3)
+        .orderBy("region_id", "neighbour_id")
+    }),
+
     "q09_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(prep(s), dir, "events")
@@ -1092,6 +1122,23 @@ object SparkEntry {
          |SELECT CAST(sid AS VARCHAR) AS region_id, COUNT(*) AS n
          |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q38_adjacency" ->
+      """WITH g AS (SELECT n_nationkey AS r, n_nationkey % 5 AS gx,
+        |                  CAST(floor(n_nationkey / 5) AS INT) AS gy FROM nation)
+        |SELECT CAST(a.r AS VARCHAR) AS region_id, CAST(b.r AS VARCHAR) AS neighbour_id
+        |FROM g a JOIN g b ON a.r <> b.r
+        |  AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q39_bfs_closure" ->
+      """WITH g AS (SELECT n_nationkey AS r, n_nationkey % 5 AS gx,
+        |                  CAST(floor(n_nationkey / 5) AS INT) AS gy FROM nation)
+        |SELECT CAST(a.r AS VARCHAR) AS region_id, CAST(b.r AS VARCHAR) AS neighbour_id,
+        |  CAST(greatest(abs(a.gx - b.gx), abs(a.gy - b.gy)) AS INT) AS distance
+        |FROM g a JOIN g b ON a.r <> b.r
+        |  AND greatest(abs(a.gx - b.gx), abs(a.gy - b.gy)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
 
     "q09_sessionize" ->
       """WITH e AS (

@@ -625,6 +625,50 @@ object SparkEntry {
         .orderBy("region_id", "neighbour_id")
     }),
 
+    // --- train-statistics scaling (A7/A10): μ/σ standardize + MinMax over
+    // a customer-derived feature frame; stats aggregate once driver-side
+    // and broadcast as literals (round 6 kills stddev partial-sum ULP). ---
+    "q40_scaling" -> ((s, dir) => {
+      val base = t(prep(s), dir, "customer")
+        .groupBy(col("c_nationkey").cast("string").as(Tables.RegionsIndex))
+        .agg(count(lit(1)).cast("double").as("f1"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("f2"))
+      val std = Scaling.standardize(base, base, Seq("f1", "f2"))
+        .select(col(Tables.RegionsIndex),
+          round(col("f1"), 6).as("f1_std"), round(col("f2"), 6).as("f2_std"))
+      val mm = Scaling.minMax(base, base, "f1")
+        .select(col(Tables.RegionsIndex), round(col("f1"), 6).as("f1_mm"))
+      std.join(mm, Seq(Tables.RegionsIndex)).orderBy(Tables.RegionsIndex)
+    }),
+
+    // --- center-handling matrix (N4) over the grid closure: neighbours up
+    // to distance 2 with the center row included (reference
+    // _base.py:139-167 semantics). ---
+    "q41_neighbours_upto" -> ((s, dir) => {
+      val regions = gridRegions(prep(s), dir)
+      val edges = Neighbourhoods.adjacencyEdges(regions, cellLevel = 6)
+      val closure = Neighbourhoods.distanceClosure(edges, 3)
+      val seeds = regions.select(Tables.RegionsIndex)
+        .where(col(Tables.RegionsIndex).isin("0", "6", "12", "24"))
+      Neighbourhoods.neighboursUpToDistance(closure, seeds, 2, includeCenter = true)
+        .orderBy("region_id", "neighbour_id", "distance")
+    }),
+
+    // --- returnGeom=true (J2): intersection geometries of overlapping
+    // rects × image-footprint boxes — box∩box area is closed-form for the
+    // oracle. ---
+    "q42_intersection_geom" -> ((s, dir) => {
+      val images = graft.sources.Images.withFootprint(
+        graft.sources.Images.forTestdata(prep(s), dir).toDF, halfExtent = 0.02)
+        .where(graft.sources.Images.key(col("image_id")) < 4000)
+        .select(col("image_id").as(Tables.FeaturesIndex), col(Tables.Geometry))
+      new IntersectionJoiner(cellLevel = 6, broadcastRegions = Some(true))
+        .transform(DerivedGeo.rectRegions(s, dir), images, returnGeom = true)
+        .select(col(Tables.RegionsIndex), col(Tables.FeaturesIndex),
+          round(Gf.stArea(col(Tables.Geometry)), 9).as("ix_area"))
+        .orderBy(Tables.RegionsIndex, Tables.FeaturesIndex)
+    }),
+
     "q09_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(prep(s), dir, "events")
@@ -1139,6 +1183,46 @@ object SparkEntry {
         |FROM g a JOIN g b ON a.r <> b.r
         |  AND greatest(abs(a.gx - b.gx), abs(a.gy - b.gy)) <= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    "q40_scaling" ->
+      """WITH base AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS region_id,
+        |    CAST(COUNT(*) AS DOUBLE) AS f1,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS f2
+        |  FROM customer GROUP BY 1),
+        |st AS (SELECT avg(f1) AS m1, stddev_pop(f1) AS s1,
+        |              avg(f2) AS m2, stddev_pop(f2) AS s2,
+        |              min(f1) AS mn1, max(f1) AS mx1 FROM base)
+        |SELECT region_id,
+        |  round((f1 - m1) / s1, 6) AS f1_std,
+        |  round((f2 - m2) / s2, 6) AS f2_std,
+        |  round(least(greatest((f1 - mn1) / (mx1 - mn1), 0.0), 1.0), 6) AS f1_mm
+        |FROM base, st ORDER BY region_id""".stripMargin,
+
+    "q41_neighbours_upto" ->
+      """WITH g AS (SELECT n_nationkey AS r, n_nationkey % 5 AS gx,
+        |                  CAST(floor(n_nationkey / 5) AS INT) AS gy FROM nation),
+        |seeds AS (SELECT * FROM g WHERE r IN (0, 6, 12, 24))
+        |SELECT CAST(a.r AS VARCHAR) AS region_id, CAST(b.r AS VARCHAR) AS neighbour_id,
+        |  CAST(greatest(abs(a.gx - b.gx), abs(a.gy - b.gy)) AS INT) AS distance
+        |FROM seeds a JOIN g b
+        |  ON greatest(abs(a.gx - b.gx), abs(a.gy - b.gy)) <= 2
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q42_intersection_geom" -> {
+      val lng = graft.sources.Images.lngSql("k")
+      val lat = graft.sources.Images.latSql("k")
+      s"""WITH keys AS (${graft.sources.Images.keysSql}),
+         |img AS (SELECT k, $lng AS lng, $lat AS lat FROM keys WHERE k < 4000),
+         |r AS (${DerivedGeo.rectsSql}),
+         |j AS (SELECT r.region_id, 'img_' || lpad(CAST(k AS VARCHAR), 9, '0') AS feature_id,
+         |        (least(lng + 0.02, r.xmax) - greatest(lng - 0.02, r.xmin)) AS w,
+         |        (least(lat + 0.02, r.ymax) - greatest(lat - 0.02, r.ymin)) AS h
+         |      FROM img JOIN r ON lng - 0.02 <= r.xmax AND lng + 0.02 >= r.xmin
+         |                     AND lat - 0.02 <= r.ymax AND lat + 0.02 >= r.ymin)
+         |SELECT region_id, feature_id, round(w * h, 9) AS ix_area
+         |FROM j ORDER BY region_id, feature_id""".stripMargin
+    },
 
     "q09_sessionize" ->
       """WITH e AS (

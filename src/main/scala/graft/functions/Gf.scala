@@ -49,6 +49,7 @@ object Gf {
     "img_height" -> (e => ImgHeight(e(0))),
     "img_reencode" -> (e => ImgReencode(e(0), e(1))),
     "hamming64" -> (e => Hamming64(e(0), e(1))),
+    "img_resize" -> (e => ImgResize(e(0), e(1), e(2), e(3))),
     "h3_cell" -> (e => H3CellExpr(e(0), e(1), e(2))),
     "h3_str" -> (e => H3Str(e(0))),
     "h3_from_str" -> (e => H3FromStr(e(0))),
@@ -125,6 +126,8 @@ object Gf {
   def imgHeight(a: Column): Column = call_function("img_height", a)
   def imgReencode(a: Column, fmt: Column): Column = call_function("img_reencode", a, fmt)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
+  def imgResize(bytes: Column, w: Int, h: Int, fmt: String): Column =
+    call_function("img_resize", bytes, lit(w), lit(h), lit(fmt))
   def h3Cell(lng: Column, lat: Column, res: Int): Column =
     call_function("h3_cell", lng.cast("double"), lat.cast("double"), lit(res))
   def h3Str(id: Column): Column = call_function("h3_str", id)

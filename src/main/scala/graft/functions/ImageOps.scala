@@ -235,6 +235,39 @@ object ImageOps {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Area-average resize (box filter) — the multimodal feature-extraction
+    * shape: decode once, integrate source pixels per target cell, re-encode.
+    * Exact for integer downscale factors, well-defined for any target. */
+  def resize(bytes: Array[Byte], tw: Int, th: Int, fmt: String): Array[Byte] = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    val (px, w, h) = decodeAll(bytes)
+    val out = new Array[Int](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * h / th; val y1 = math.max(y0 + 1, (ty + 1) * h / th)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * w / tw; val x1 = math.max(x0 + 1, (tx + 1) * w / tw)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = px(y * w + x)
+            r += (p >> 16) & 255; g += (p >> 8) & 255; b += p & 255; n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(ty * tw + tx) = (((r / n).toInt & 255) << 16) |
+          (((g / n).toInt & 255) << 8) | ((b / n).toInt & 255)
+        tx += 1
+      }
+      ty += 1
+    }
+    encode(out, tw, th, fmt)
+  }
+
   /** Re-encode decoded pixels in another format (tile-sink path, L6/L7). */
   def reencode(bytes: Array[Byte], fmt: String): Array[Byte] = {
     val (px, w, h) = decodeAll(bytes)

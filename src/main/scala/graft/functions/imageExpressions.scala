@@ -74,3 +74,19 @@ case class Hamming64(left: Expression, right: Expression) extends BinaryExpressi
     defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+
+/** img_resize(bytes, w, h, fmt) → binary — area-average box resize. */
+case class ImgResize(first: Expression, second: Expression, third: Expression,
+                     fourth: Expression) extends QuaternaryExpression {
+  override def prettyName: String = "img_resize"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(b: Any, w: Any, h: Any, f: Any): Any =
+    ImageOps.resize(b.asInstanceOf[Array[Byte]], w.asInstanceOf[Int],
+      h.asInstanceOf[Int], f.toString)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, w, h, f) =>
+      s"graft.functions.ImageOps.resize($b, $w, $h, $f.toString())")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression) = copy(a, b, c, d)
+}

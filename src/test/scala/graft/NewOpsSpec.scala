@@ -152,6 +152,26 @@ class NewOpsSpec extends AnyFunSuite {
     assert(norm(WayNormalizer.lanes, "1e2") === "15")
   }
 
+  // ---- multimodal: resize --------------------------------------------
+
+  test("img_resize: exact integer downscale, dims + content preserved") {
+    import graft.functions.ImageOps
+    val px = ImageOps.synthPixels(7, 64, 32)
+    val png = ImageOps.encode(px, 64, 32, "png")
+    val df = Seq(Tuple1(png)).toDF("bytes")
+      .select(Gf.imgResize(col("bytes"), 32, 16, "png").as("small"))
+    val small = df.collect()(0).getAs[Array[Byte]](0)
+    assert(ImageOps.width(small) === 32 && ImageOps.height(small) === 16)
+    // 2x2 box average of a checkerboard-ish pattern keeps the perceptual
+    // hash close to the original (aHash is itself an 8x8 box average)
+    val d = ImageOps.hamming(ImageOps.phash(png), ImageOps.phash(small))
+    assert(d <= 4, s"resize destroyed structure: hamming $d")
+    // exact kernel check: uniform image stays exactly uniform
+    val flat = ImageOps.encode(Array.fill(64 * 32)(0x336699), 64, 32, "png")
+    val rs = ImageOps.resize(flat, 16, 8, "png")
+    assert(ImageOps.decodeRgb(rs).forall(_ == 0x336699))
+  }
+
   // ---- bounded top-k aggregate ---------------------------------------
 
   test("topk_agg: exact ordering with overflow + ties, matches a plain sort") {

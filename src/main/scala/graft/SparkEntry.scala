@@ -669,6 +669,29 @@ object SparkEntry {
         .orderBy(Tables.RegionsIndex, Tables.FeaturesIndex)
     }),
 
+    // --- GeoVex hex tensor (N8) over the golden region set, flattened to
+    // (region_id, r, c, v) scalar rows: the oracle recomputes the dense
+    // (2k+2)² layout — pos = (k+i)·side + (k−j) — from the IJ fixture
+    // (FixtureGen asserts pairwise localIj == fixture difference). ---
+    "q43_hex_tensor" -> ((s, dir) => {
+      prep(s)
+      val hex = "/root/reference/tests/embedders/hex2vec/test_files"
+      val regions = s.read.parquet(s"$hex/poz_8_regions.parquet")
+        .select(col("region_id").as(Tables.RegionsIndex))
+      val counts = regions.join(
+        s.read.parquet(s"$hex/poz_8_joint.parquet").groupBy("region_id")
+          .agg(count(lit(1)).cast("int").as("cnt")),
+        Seq(Tables.RegionsIndex), "left").na.fill(0, Seq("cnt"))
+      operators.Tiling.hexTensor(regions, counts, 1, "cnt")
+        .select(col(Tables.RegionsIndex), posexplode(col("rows")))
+        .withColumnRenamed("pos", "r").withColumnRenamed("col", "vals")
+        .select(col(Tables.RegionsIndex), col("r").cast("int").as("r"),
+          posexplode(col("vals")))
+        .select(col(Tables.RegionsIndex), col("r"),
+          col("pos").cast("int").as("c"), col("col").as("v"))
+        .orderBy(Tables.RegionsIndex, "r", "c")
+    }),
+
     "q09_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(prep(s), dir, "events")
@@ -1223,6 +1246,31 @@ object SparkEntry {
          |SELECT region_id, feature_id, round(w * h, 9) AS ix_area
          |FROM j ORDER BY region_id, feature_id""".stripMargin
     },
+
+    "q43_hex_tensor" ->
+      """WITH r AS (SELECT region_id FROM read_parquet('/root/reference/tests/embedders/hex2vec/test_files/poz_8_regions.parquet')),
+        |jc AS (SELECT region_id, CAST(count(*) AS INT) AS c
+        |       FROM read_parquet('/root/reference/tests/embedders/hex2vec/test_files/poz_8_joint.parquet') GROUP BY 1),
+        |base AS (SELECT r.region_id, COALESCE(c, 0) AS c FROM r LEFT JOIN jc USING (region_id)),
+        |ij AS (SELECT region_id, i, j FROM read_parquet('/root/repo/fixtures/poz8_ij.parquet')),
+        |rel AS (SELECT a.region_id AS anchor, b.region_id AS nb,
+        |    b.i - a.i AS di, b.j - a.j AS dj,
+        |    (abs(a.i - b.i) + abs(a.j - b.j) + abs((a.i - b.i) - (a.j - b.j))) // 2 AS d
+        |  FROM ij a JOIN ij b ON true),
+        |near AS (SELECT * FROM rel WHERE d <= 1),
+        |complete AS (SELECT anchor FROM near GROUP BY 1 HAVING count(*) = 7),
+        |axes AS (SELECT unnest(generate_series(0, 3)) AS x),
+        |slots AS (SELECT c.anchor, r.x AS r, cc.x AS c FROM complete c, axes r, axes cc),
+        |vals AS (SELECT n.anchor,
+        |    CAST(((1 + n.di) * 4 + (1 - n.dj)) // 4 AS INT) AS r,
+        |    CAST(((1 + n.di) * 4 + (1 - n.dj)) % 4 AS INT) AS c,
+        |    base.c AS v
+        |  FROM near n JOIN complete USING (anchor)
+        |  JOIN base ON base.region_id = n.nb)
+        |SELECT sl.anchor AS region_id, CAST(sl.r AS INT) AS r, CAST(sl.c AS INT) AS c,
+        |  CAST(COALESCE(v.v, 0) AS DOUBLE) AS v
+        |FROM slots sl LEFT JOIN vals v USING (anchor, r, c)
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q09_sessionize" ->
       """WITH e AS (

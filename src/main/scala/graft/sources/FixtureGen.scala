@@ -49,6 +49,19 @@ object FixtureGen {
     }
     println(s"IJ==grid distance verified for ${cells.length}^2 pairs (max d=$maxD)")
 
+    // translation consistency: the PAIRWISE local IJ (what hexTensor uses)
+    // must equal the fixture-coordinate difference for every near pair —
+    // i.e. one consistent hex frame covers the whole region set, so a SQL
+    // oracle can recompute tensor positions from the fixture alone.
+    for (x <- cells.indices; y <- cells.indices
+         if ijDist(ij(x), ij(y)) <= 3 && x != y) {
+      val rel = H3.localIj(cells(x), cells(y))
+      val diff = (ij(y)._1 - ij(x)._1, ij(y)._2 - ij(x)._2)
+      require(rel == diff,
+        s"frame mismatch ${ids(x)}→${ids(y)}: localIj=$rel fixture-diff=$diff")
+    }
+    println("pairwise localIj == fixture difference verified for all near pairs")
+
     import spark.implicits._
     val tmp = "/tmp/graft_fixture_poz8_ij"
     ids.zip(ij).map { case (r, (i, j)) => (r, i, j) }.toSeq

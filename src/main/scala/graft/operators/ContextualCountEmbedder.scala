@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   *  - squashed: base + Σ_d agg_d / (d+1)²  (same output columns);
   *  - concatenated: blocks "{col}_{d}" for d = 0..k, block 0 = base.
   *
-  * Spark shape: k joins of (distance-d edges ⋈ embeddings) each feeding one
-  * hash aggregate keyed by region — partial aggregation map-side; the edge
-  * table is reused (cache it when driving multiple embedders).
+  * Spark shape: ONE join of the whole closure against the embeddings and
+  * ONE hash aggregate keyed by region with per-distance conditional
+  * aggregates (aggFn(when(distance = d, v)) — nulls are ignored by SQL
+  * aggregates, so each column sees exactly the distance-d neighbour set).
+  * Round-1 ran k separate join+aggregate rounds — k shuffles of the same
+  * embedding table instead of one.
   *
   * @param closure distance table (region_id, neighbour_id, distance 1..k)
   *                from [[Neighbourhoods.distanceClosure]] (or an H3 k-ring
@@ -45,29 +48,23 @@ class ContextualCountEmbedder(
     val featureCols = embeddings.columns.toSeq.filterNot(_ == RegionsIndex)
     require(featureCols.nonEmpty, "embeddings have no feature columns")
 
-    // per-distance aggregated neighbour features, joined left so regions
-    // with no distance-d neighbours get zeros (reference :347-348, :363)
-    val perDistance: Seq[(Int, DataFrame)] = (1 to k).map { d =>
-      val agg = closure.where(col("distance") === d)
-        .select(col("region_id"), col("neighbour_id"))
-        .join(embeddings.select(
-          col(RegionsIndex).as("neighbour_id") +:
-            featureCols.map(c => col(c).as(s"__n_$c")): _*),
-          Seq("neighbour_id"))
-        .groupBy("region_id")
-        .agg(aggFn(col(s"__n_${featureCols.head}")).as(s"agg_${featureCols.head}"),
-          featureCols.tail.map(c => aggFn(col(s"__n_$c")).as(s"agg_$c")): _*)
-      d -> agg
-    }
+    // ONE closure⋈embeddings join + ONE aggregate with per-distance
+    // conditional columns; regions with no distance-d neighbours stay null
+    // here and become zeros below (reference :347-348, :363)
+    val neighbourVals = closure
+      .where(col("distance").between(1, k))
+      .select(col("region_id"), col("neighbour_id"), col("distance"))
+      .join(embeddings.select(
+        col(RegionsIndex).as("neighbour_id") +:
+          featureCols.map(c => col(c).as(s"__n_$c")): _*),
+        Seq("neighbour_id"))
+    val aggCols = for (d <- 1 to k; c <- featureCols)
+      yield aggFn(when(col("distance") === d, col(s"__n_$c"))).as(s"agg_${d}_$c")
+    val agg = neighbourVals.groupBy("region_id")
+      .agg(aggCols.head, aggCols.tail: _*)
 
-    val joined = perDistance.foldLeft(
-      embeddings.withColumnRenamed(RegionsIndex, "region_id")) {
-      case (acc, (d, agg)) =>
-        acc.join(
-          agg.select(col("region_id") +:
-            featureCols.map(c => col(s"agg_$c").as(s"agg_${d}_$c")): _*),
-          Seq("region_id"), "left")
-    }
+    val joined = embeddings.withColumnRenamed(RegionsIndex, "region_id")
+      .join(agg, Seq("region_id"), "left")
 
     def nz(c: Column): Column = coalesce(c, lit(0.0))
 

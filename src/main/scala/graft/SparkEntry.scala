@@ -692,6 +692,36 @@ object SparkEntry {
         .orderBy(Tables.RegionsIndex, "r", "c")
     }),
 
+    // --- LineageSink crash-resume exactly-once (§2.8, north rule:
+    // "resumable from checkpoint with per-partition lineage + metrics").
+    // Three wrecked attempts are injected — a partial commit history
+    // (buckets b0-b2 only), a job dead mid-STAGING write, and a job dead
+    // mid-MOVE (pending marker written, half its files already renamed into
+    // the table) — then one resumeWrite. Output joins per-bucket counts
+    // read back from the committed table with the manifest's lineage rows;
+    // the oracle is the closed-form per-bucket expectation, so any lost or
+    // doubled row (or manifest drift) hash-mismatches. ---
+    "q44_lineage_resume" -> ((s, dir) => {
+      val docs = t(prep(s), dir, "documents").select(
+        col("doc_id"),
+        concat(lit("b"), pmod(col("doc_id"), lit(7)).cast("string")).as("bucket"),
+        col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("q44_lineage").toString
+      graft.sources.LineageSink.write(
+        docs.where(pmod(col("doc_id"), lit(7)) <= 2), tmp, "bucket")
+      graft.sources.LineageSink.injectCrashMidStaging(
+        docs.where(pmod(col("doc_id"), lit(7)) === 3), tmp, "bucket")
+      graft.sources.LineageSink.injectCrashMidCommit(
+        docs.where(pmod(col("doc_id"), lit(7)) === 4), tmp, "bucket")
+      graft.sources.LineageSink.resumeWrite(docs, tmp, "bucket")
+      val data = s.read.parquet(s"$tmp/data")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("chars"))
+      val m = graft.sources.LineageSink.manifest(s, tmp)
+        .groupBy("bucket").agg(sum("rows").as("m_rows"))
+      data.join(m, Seq("bucket")).orderBy("bucket")
+    }),
+
     "q09_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(prep(s), dir, "events")
@@ -1271,6 +1301,13 @@ object SparkEntry {
         |  CAST(COALESCE(v.v, 0) AS DOUBLE) AS v
         |FROM slots sl LEFT JOIN vals v USING (anchor, r, c)
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q44_lineage_resume" ->
+      """SELECT 'b' || CAST(doc_id % 7 AS VARCHAR) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(count(*) AS BIGINT) AS m_rows
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q09_sessionize" ->
       """WITH e AS (

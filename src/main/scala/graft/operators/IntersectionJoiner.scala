@@ -32,6 +32,13 @@ import graft.functions.Gf
   *                    exploded region side; None → Spark decides.
   * @param salt        explicit skew salting factor for the feature side
   *                    (0 = rely on AQE).
+  * @param strict      also assert both inputs are non-empty before planning,
+  *                    mirroring the reference's eager ValueError
+  *                    (intersection_joiner.py:43-51). Off by default: the
+  *                    check costs two extra Spark jobs per transform — real
+  *                    overhead in a pipeline that joins thousands of times —
+  *                    and an empty input yields an empty (correct) join
+  *                    anyway. Schema validation is always eager (free).
   */
 object IntersectionJoiner {
   /** Suggest an S2 index level so a typical region covers ≈ `targetCells`
@@ -59,7 +66,8 @@ class IntersectionJoiner(
     cellLevel: Int = 12,
     pointFeatures: Boolean = false,
     broadcastRegions: Option[Boolean] = None,
-    salt: Int = 0) {
+    salt: Int = 0,
+    strict: Boolean = false) {
 
   import Tables._
 
@@ -121,6 +129,7 @@ class IntersectionJoiner(
   private def validate(df: DataFrame, side: String): Unit = {
     require(df.columns.contains(Geometry),
       s"$side must have a '$Geometry' column (reference raises ValueError)")
-    require(!df.isEmpty, s"$side table is empty (reference raises ValueError)")
+    if (strict)
+      require(!df.isEmpty, s"$side table is empty (reference raises ValueError)")
   }
 }

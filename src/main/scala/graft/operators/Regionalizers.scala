@@ -19,10 +19,17 @@ object Tables {
 trait Regionalizer {
   def transform(areas: DataFrame): DataFrame
 
+  /** Opt-in eager emptiness check (the reference's ValueError): costs an
+    * extra Spark job planning the full upstream query, so the default keeps
+    * validation metadata-only — an empty input regionalizes to an empty
+    * table, which is correct anyway. */
+  protected def strictValidation: Boolean = false
+
   protected def validate(areas: DataFrame): Unit = {
     require(areas.columns.contains(Tables.Geometry),
       s"areas must have a '${Tables.Geometry}' column (WKB)")
-    require(!areas.isEmpty, "Cannot regionalize an empty table")
+    if (strictValidation)
+      require(!areas.isEmpty, "Cannot regionalize an empty table")
   }
 
   /** explode multipolygons (reference: _base.py:26-36). */

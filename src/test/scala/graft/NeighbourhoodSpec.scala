@@ -130,7 +130,7 @@ class LineageSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/data").count() === 1000)
   }
 
-  test("manifest is a file registry: commits never rescan, orphans are cleaned") {
+  test("crash recovery: staged + mid-move wrecks roll back; readers see exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("lineage2").toString
     val a = (0 until 100).map(i => (i.toLong, s"b${i % 2}")).toDF("id", "bucket")
     LineageSink.write(a, dir, "bucket")
@@ -139,22 +139,62 @@ class LineageSinkSpec extends AnyFunSuite {
     val registered = m1.select(explode(col("files"))).distinct().count()
     assert(registered > 0)
 
-    // plant an orphan: an uncommitted data file from a "crashed" job
-    val bucketDir = new java.io.File(s"$dir/data/bucket=b0")
-    val victim = bucketDir.listFiles().find(_.getName.endsWith(".parquet")).get
-    val orphan = new java.io.File(bucketDir, "part-orphan.parquet")
-    java.nio.file.Files.copy(victim.toPath, orphan.toPath)
-    assert(spark.read.parquet(s"$dir/data").count() > 100) // duplicated rows visible
-
-    // next write cleans the orphan first → totals stay exact
+    // job A died mid staging write (no marker yet); job B died mid-MOVE
+    // (marker written, about half its files already renamed into data/)
     val b = (100 until 150).map(i => (i.toLong, s"b${i % 2}")).toDF("id", "bucket")
-    LineageSink.write(b, dir, "bucket")
-    assert(!orphan.exists())
-    assert(spark.read.parquet(s"$dir/data").count() === 150)
+    LineageSink.injectCrashMidStaging(b, dir, "bucket")
+    LineageSink.injectCrashMidCommit(b, dir, "bucket")
+    // the half-moved files ARE visible before recovery — the wreck is real
+    assert(spark.read.parquet(s"$dir/data").count() > 100)
+
+    // next write recovers first → totals stay exact, every row exactly once
+    val c = (150 until 200).map(i => (i.toLong, s"b${i % 2}")).toDF("id", "bucket")
+    LineageSink.write(c, dir, "bucket")
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() === 150)
+    assert(data.select("id").distinct().count() === 150)
     val m2 = LineageSink.manifest(spark, dir)
     assert(m2.agg(sum("rows")).collect()(0).getLong(0) === 150)
-    // second commit added only the new files (no rescan/recount of job 1)
     assert(m2.select("job_id").distinct().count() === 2)
+    // staging + pending are fully retired
+    val staging = new java.io.File(s"$dir/staging")
+    val pending = new java.io.File(s"$dir/pending")
+    assert(!staging.exists() || staging.listFiles().isEmpty)
+    assert(!pending.exists() || pending.listFiles().isEmpty)
+  }
+
+  test("cleanOrphans is explicit maintenance: foreign files removed, committed kept") {
+    val dir = java.nio.file.Files.createTempDirectory("lineage4").toString
+    val a = (0 until 100).map(i => (i.toLong, s"b${i % 2}")).toDF("id", "bucket")
+    LineageSink.write(a, dir, "bucket")
+    val bucketDir = new java.io.File(s"$dir/data/bucket=b0")
+    val victim = bucketDir.listFiles().find(_.getName.endsWith(".parquet")).get
+    val foreign = new java.io.File(bucketDir, "part-foreign.parquet")
+    java.nio.file.Files.copy(victim.toPath, foreign.toPath)
+    assert(LineageSink.cleanOrphans(spark, dir) === 1)
+    assert(!foreign.exists())
+    assert(spark.read.parquet(s"$dir/data").count() === 100)
+    // idempotent: committed files are never misidentified as orphans
+    assert(LineageSink.cleanOrphans(spark, dir) === 0)
+  }
+
+  test("bucket values that URI-escape round-trip (manifest keys == disk paths)") {
+    val dir = java.nio.file.Files.createTempDirectory("lineage5").toString
+    val df = Seq((1L, "has space"), (2L, "pct%40"), (3L, "plain"))
+      .toDF("id", "bucket")
+    LineageSink.write(df, dir, "bucket")
+    val m = LineageSink.manifest(spark, dir)
+    assert(m.count() === 3)
+    // file-identity keys in the manifest point at real on-disk files
+    val keys = m.select(explode(col("files"))).collect().map(_.getString(0))
+    keys.foreach(k => assert(new java.io.File(k).exists(), s"missing: $k"))
+    // manifest bucket values are the UNESCAPED originals
+    val buckets = m.select("bucket").collect().map(_.getString(0)).toSet
+    assert(buckets === Set("has space", "pct%40", "plain"))
+    // resume skips all three buckets; maintenance deletes nothing
+    LineageSink.resumeWrite(df, dir, "bucket")
+    assert(spark.read.parquet(s"$dir/data").count() === 3)
+    assert(LineageSink.cleanOrphans(spark, dir) === 0)
   }
 
   test("writeGrouped commits in bucket groups and resumes at group granularity") {

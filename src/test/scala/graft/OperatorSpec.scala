@@ -68,13 +68,23 @@ class IntersectionJoinerSpec extends AnyFunSuite {
     assert(got === JoinerFixture.expectedPairs)
   }
 
-  test("empty input raises (intersection_joiner.py:43-51)") {
+  test("strict mode: empty input raises eagerly (intersection_joiner.py:43-51)") {
     intercept[IllegalArgumentException] {
-      new IntersectionJoiner().transform(regions.limit(0), features)
+      new IntersectionJoiner(strict = true).transform(regions.limit(0), features)
     }
     intercept[IllegalArgumentException] {
-      new IntersectionJoiner().transform(regions, features.limit(0))
+      new IntersectionJoiner(strict = true).transform(regions, features.limit(0))
     }
+    // default mode: no eager jobs; empty input → empty (correct) join
+    assert(new IntersectionJoiner().transform(regions.limit(0), features).count() === 0)
+  }
+
+  test("default transform schedules no validation pre-jobs (VERDICT r2 #6)") {
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    new IntersectionJoiner(cellLevel = 8).transform(regions, features) // plan only
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, s"transform ran ${after - before} eager job(s)")
   }
 }
 
@@ -116,12 +126,15 @@ class RegionalizerSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(3) == 11))
   }
 
-  test("resolution guards + empty input") {
+  test("resolution guards + strict-mode empty input") {
     intercept[IllegalArgumentException](new S2Regionalizer(-1))
     intercept[IllegalArgumentException](new S2Regionalizer(31))
     intercept[IllegalArgumentException](new SlippyMapRegionalizer(20))
     intercept[IllegalArgumentException](
-      new S2Regionalizer(7).transform(areas(Fixtures.p1).limit(0)))
+      new S2Regionalizer(7) { override protected def strictValidation = true }
+        .transform(areas(Fixtures.p1).limit(0)))
+    // default: metadata-only validation, empty in → empty out
+    assert(new S2Regionalizer(7).transform(areas(Fixtures.p1).limit(0)).count() === 0)
   }
 }
 

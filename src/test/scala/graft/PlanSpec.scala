@@ -146,4 +146,36 @@ class TripletsSpec extends AnyFunSuite {
     val t2 = Triplets.hex2vec(regions, excludeK = 2, negativesPerAnchor = 2, seed = 7L)
     assert(t.exceptAll(t2).count() === 0)
   }
+
+  test("every anchor gets exactly negativesPerAnchor negatives (top-up pass)") {
+    // tiny vocabulary: disk(2) of the center covers most of disk(3), so the
+    // bounded hash picks under-fill for central anchors and the exhaustive
+    // top-up must complete them (candidates at distance 3 always exist)
+    val center = "862bac507ffffff"
+    val cells = graft.core.H3.gridDisk(graft.core.H3.fromHexString(center), 3)
+      .map(graft.core.H3.toHexString)
+    val regions = cells.toDF(graft.operators.Tables.RegionsIndex)
+    val t = Triplets.hex2vec(regions, excludeK = 2, negativesPerAnchor = 8,
+      seed = 3L, oversample = 9)
+    val perAnchor = t.groupBy("anchor")
+      .agg(countDistinct("negative").as("k")).collect()
+    assert(perAnchor.nonEmpty)
+    perAnchor.foreach { r =>
+      assert(r.getLong(1) === 8L, s"anchor ${r.getString(0)} has ${r.getLong(1)} negatives")
+    }
+  }
+
+  test("triplets plan contains no global (partition-less) window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val center = "862bac507ffffff"
+    val cells = graft.core.H3.gridDisk(graft.core.H3.fromHexString(center), 3)
+      .map(graft.core.H3.toHexString)
+    val regions = cells.toDF(graft.operators.Tables.RegionsIndex)
+    val t = Triplets.hex2vec(regions)
+    val offenders = t.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(offenders.isEmpty,
+      s"global window sorts the vocabulary in one task:\n${offenders.mkString("\n")}")
+  }
 }

@@ -157,7 +157,11 @@ object SparkEntry {
       val images = graft.sources.Images.withFootprint(
         graft.sources.Images.forTestdata(prep(s), dir).toDF, halfExtent = 0.02)
         .select(col("image_id").as(Tables.FeaturesIndex), col(Tables.Geometry))
-      val joint = new IntersectionJoiner(cellLevel = 6, broadcastRegions = Some(true))
+      // boxFeatures fast path: one center cell per image (no ×4 cover
+      // explode on the big side, no pair-dedup exchange); regions cover
+      // their envelope dilated by the same half-extent — lossless
+      val joint = new IntersectionJoiner(cellLevel = 6,
+        broadcastRegions = Some(true), boxFeatures = Some(0.02))
         .transform(DerivedGeo.rectRegions(s, dir), images)
       joint.groupBy(Tables.RegionsIndex).agg(count(lit(1)).as("n_images"))
         .orderBy(Tables.RegionsIndex)
@@ -424,6 +428,21 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    // --- qcut(duplicates="drop") variant of q25 (A8, reference
+    // spatial_split.py:202-219): exact linear-interpolation quantile edges,
+    // duplicate-edge merge, right-closed 0-based codes; oracle recomputes
+    // with DuckDB quantile_cont. Dup-edge collapse itself is pinned against
+    // real pandas outputs in QuantilesSpec. ---
+    "q47_qcut_buckets" -> ((s, dir) => {
+      val stats = DerivedGeo.points(prep(s), dir)
+        .select(concat_ws("_",
+          DerivedGeo.tileX(col("lng"), 6).cast("string"),
+          DerivedGeo.tileY(col("lat"), 6).cast("string"),
+          lit("6")).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+      operators.Quantiles.qcut(stats, "n", 4).orderBy("cell")
+    }),
+
     // --- trajectory metrics (A13, reference _custom_metrics.py:45-100):
     // per-user ordered paths; haversine-mean + element-wise accuracy are
     // driver-certified (closed-form SQL); exact DTW is spec-pinned
@@ -675,7 +694,8 @@ object SparkEntry {
         graft.sources.Images.forTestdata(prep(s), dir).toDF, halfExtent = 0.02)
         .where(graft.sources.Images.key(col("image_id")) < 4000)
         .select(col("image_id").as(Tables.FeaturesIndex), col(Tables.Geometry))
-      new IntersectionJoiner(cellLevel = 6, broadcastRegions = Some(true))
+      new IntersectionJoiner(cellLevel = 6, broadcastRegions = Some(true),
+        boxFeatures = Some(0.02))
         .transform(DerivedGeo.rectRegions(s, dir), images, returnGeom = true)
         .select(col(Tables.RegionsIndex), col(Tables.FeaturesIndex),
           round(Gf.stArea(col(Tables.Geometry)), 9).as("ix_area"))
@@ -982,6 +1002,23 @@ object SparkEntry {
          |             COUNT(*) AS n
          |      FROM p GROUP BY 1)
          |SELECT cell, n, CAST(NTILE(4) OVER (ORDER BY n, cell) AS INT) AS bucket
+         |FROM c ORDER BY cell""".stripMargin
+    },
+
+    "q47_qcut_buckets" -> {
+      val x = DerivedGeo.tileXSql("lng", 6)
+      val y = DerivedGeo.tileYSql("lat", 6)
+      s"""WITH p AS (${DerivedGeo.pointsSql}),
+         |c AS (SELECT CONCAT_WS('_', CAST($x AS VARCHAR), CAST($y AS VARCHAR), '6') AS cell,
+         |             COUNT(*) AS n
+         |      FROM p GROUP BY 1),
+         |e AS (SELECT quantile_cont(n, [0.0, 0.25, 0.5, 0.75, 1.0]) AS qs FROM c),
+         |d AS (SELECT DISTINCT unnest(qs) AS edge FROM e)
+         |SELECT c.cell, c.n,
+         |  CASE WHEN (SELECT count(*) FROM d) < 2 THEN NULL
+         |       ELSE CAST(greatest(0,
+         |         (SELECT count(*) FROM d WHERE d.edge < c.n) - 1) AS INT)
+         |  END AS bucket
          |FROM c ORDER BY cell""".stripMargin
     },
 

@@ -26,6 +26,19 @@ object CatalystHelpers {
   def s2Cover(wkb: Array[Byte], level: Int): ArrayData =
     ArrayData.toArrayData(S2.cover(Geo.fromWkb(wkb), level).toArray)
 
+  /** Cover of the geometry's envelope DILATED by `h` degrees (Chebyshev
+    * buffer): the region-side key set for the box-feature join fast path.
+    * Any axis-aligned box of half-extent ≤ h that intersects the geometry
+    * has its CENTER inside envelope⊕h, so matching the feature's single
+    * center cell against this cover is lossless; the exact st_intersects
+    * refinement trims the over-cover. */
+  def s2CoverExpanded(wkb: Array[Byte], level: Int, h: Double): ArrayData = {
+    val e = Geo.fromWkb(wkb).getEnvelopeInternal
+    e.expandBy(h)
+    ArrayData.toArrayData(
+      S2.cover(Geo.box(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY), level).toArray)
+  }
+
   def s2Boundary(id: Long): Array[Byte] = Geo.toWkb(S2.cellGeometry(id))
 
   def s2Level(id: Long): Int = S2.level(id)

@@ -39,6 +39,7 @@ object Gf {
     "s2_from_token" -> (e => S2FromToken(e(0))),
     "s2_children" -> (e => S2Children(e(0), e(1))),
     "s2_cover" -> (e => S2Cover(e(0), e(1))),
+    "s2_cover_expanded" -> (e => S2CoverExpanded(e(0), e(1), e(2))),
     "s2_boundary" -> (e => S2Boundary(e(0))),
     "s2_parent" -> (e => S2Parent(e(0), e(1))),
     "slippy_cover" -> (e => SlippyCover(e(0), e(1))),
@@ -66,6 +67,7 @@ object Gf {
     "hyperplane_sig" -> (e => HyperplaneSig(e(0), e(1), e(2))),
     "h3_latlng" -> (e => H3LatLng(e(0))),
     "dtw_latlng" -> (e => DtwLatLng(e(0), e(1))),
+    "fastdtw_latlng" -> (e => FastDtwLatLng(e(0), e(1), e(2))),
     "topk_agg" -> (e => TopKAgg(e(0), e(1), e(2))),
     "st_union_agg" -> (e => StUnionAgg(e(0))))
 
@@ -112,6 +114,8 @@ object Gf {
   def s2Children(id: Column, level: Int): Column =
     call_function("s2_children", id, lit(level))
   def s2Cover(geom: Column, level: Int): Column = call_function("s2_cover", geom, lit(level))
+  def s2CoverExpanded(geom: Column, level: Int, h: Double): Column =
+    call_function("s2_cover_expanded", geom, lit(level), lit(h))
   def s2Boundary(id: Column): Column = call_function("s2_boundary", id)
   def s2Parent(id: Column, level: Int): Column = call_function("s2_parent", id, lit(level))
 
@@ -150,6 +154,8 @@ object Gf {
     call_function("hyperplane_sig", v, lit(planes), lit(seed))
   def h3LatLng(id: Column): Column = call_function("h3_latlng", id)
   def dtwLatLng(a: Column, b: Column): Column = call_function("dtw_latlng", a, b)
+  def fastDtwLatLng(a: Column, b: Column, radius: Int = 1): Column =
+    call_function("fastdtw_latlng", a, b, lit(radius))
   def topKAgg(score: Column, id: Column, k: Int): Column =
     call_function("topk_agg", score, id, lit(k))
   def stUnionAgg(geom: Column): Column = call_function("st_union_agg", geom)

@@ -211,6 +211,29 @@ case class DtwLatLng(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** fastdtw_latlng(a, b, radius) → double: the reference's fastdtw
+  * APPROXIMATION (see [[GeoMetrics.fastDtw]]) for bit-parity consumers;
+  * `dtw_latlng` (exact DP) is the engine default. */
+case class FastDtwLatLng(left: Expression, right: Expression, radiusExpr: Expression)
+  extends TernaryExpression with codegen.CodegenFallback {
+  override def prettyName: String = "fastdtw_latlng"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = radiusExpr
+  override def nullSafeEval(a: Any, b: Any, r: Any): Any = {
+    def path(d: ArrayData): Array[(Double, Double)] =
+      (0 until d.numElements()).map { i =>
+        val p = d.getArray(i); (p.getDouble(0), p.getDouble(1))
+      }.toArray
+    GeoMetrics.fastDtw(path(a.asInstanceOf[ArrayData]),
+      path(b.asInstanceOf[ArrayData]), r.asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression) = copy(f, s, t)
+}
+
 /** Shared scalar kernels for the trajectory metrics. */
 object GeoMetrics {
   /** Mean earth radius used by all graft great-circle math (geopy's
@@ -224,6 +247,112 @@ object GeoMetrics {
     val a = math.sin(dp / 2) * math.sin(dp / 2) +
       math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
     2.0 * EarthRadiusM * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  /** geopy-style great-circle distance (atan2 form, same R): the `dist`
+    * the reference's fastdtw call uses (_custom_metrics.py:85-87).
+    * Mathematically equal to [[haversineM]]; kept separate because the
+    * fastdtw parity goldens reproduce this exact FP operation order. */
+  def greatCircleM(lat1: Double, lng1: Double, lat2: Double, lng2: Double): Double = {
+    // x * (π/180), NOT Math.toRadians' x/180*π: matches CPython
+    // math.radians so the cross-language goldens stay bit-exact
+    val d2r = math.Pi / 180.0
+    val p1 = lat1 * d2r; val p2 = lat2 * d2r
+    val dl = lng2 * d2r - lng1 * d2r
+    val s1 = math.sin(p1); val c1 = math.cos(p1)
+    val s2 = math.sin(p2); val c2 = math.cos(p2)
+    val sd = math.sin(dl); val cd = math.cos(dl)
+    val a = c2 * sd
+    val b = c1 * s2 - s1 * c2 * cd
+    EarthRadiusM * math.atan2(math.sqrt(a * a + b * b), s1 * s2 + c1 * c2 * cd)
+  }
+
+  /** FastDTW (Salvador & Chan, Intelligent Data Analysis 11(5), 2007) with
+    * radius-window refinement — the APPROXIMATION the reference's
+    * dtw_distance actually computes (pypi fastdtw, radius=1;
+    * _custom_metrics.py:71-88). Semantics replicated exactly: pairwise-
+    * average coarsening, radius-cell expansion around the backtracked
+    * coarse path, constrained DP with first-wins tie-breaking in
+    * (up, left, diagonal) order, geopy great-circle point distance.
+    * Cross-language goldens: tools/gen_fastdtw_golden.py + FastDtwSpec.
+    * [[dtw]] (the exact O(nm) DP) stays the engine default. */
+  def fastDtw(a: Array[(Double, Double)], b: Array[(Double, Double)],
+              radius: Int = 1): Double =
+    fastDtwRec(a, b, radius)._1
+
+  private def fastDtwRec(x: Array[(Double, Double)], y: Array[(Double, Double)],
+                         radius: Int): (Double, Array[(Int, Int)]) = {
+    val minSize = radius + 2
+    if (x.length < minSize || y.length < minSize) constrainedDtw(x, y, None)
+    else {
+      val (_, path) = fastDtwRec(reduceByHalf(x), reduceByHalf(y), radius)
+      constrainedDtw(x, y, Some(expandWindow(path, x.length, y.length, radius)))
+    }
+  }
+
+  private def reduceByHalf(x: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val m = x.length - x.length % 2
+    Array.tabulate(m / 2)(k =>
+      ((x(2 * k)._1 + x(2 * k + 1)._1) / 2, (x(2 * k)._2 + x(2 * k + 1)._2) / 2))
+  }
+
+  private def constrainedDtw(x: Array[(Double, Double)], y: Array[(Double, Double)],
+                             window: Option[Array[(Int, Int)]])
+      : (Double, Array[(Int, Int)]) = {
+    val lenX = x.length; val lenY = y.length
+    val win = window.getOrElse(
+      (for (i <- 0 until lenX; j <- 0 until lenY) yield (i, j)).toArray)
+    // D(i, j) = (cost, predecessor i, predecessor j); missing = +inf
+    val D = scala.collection.mutable.HashMap[(Int, Int), (Double, Int, Int)]()
+    D((0, 0)) = (0.0, 0, 0)
+    for ((i0, j0) <- win) {
+      val i = i0 + 1; val j = j0 + 1
+      val dt = greatCircleM(x(i - 1)._1, x(i - 1)._2, y(j - 1)._1, y(j - 1)._2)
+      var best: (Double, Int, Int) = null
+      for ((pi, pj) <- Seq((i - 1, j), (i, j - 1), (i - 1, j - 1))) {
+        val pd = D.get((pi, pj)).map(_._1).getOrElse(Double.PositiveInfinity)
+        if (best == null || pd + dt < best._1) best = (pd + dt, pi, pj)
+      }
+      D((i, j)) = best
+    }
+    val path = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = lenX; var j = lenY
+    while (!(i == 0 && j == 0)) {
+      path += ((i - 1, j - 1))
+      val (_, pi, pj) = D((i, j))
+      i = pi; j = pj
+    }
+    (D((lenX, lenY))._1, path.reverse.toArray)
+  }
+
+  private def expandWindow(path: Array[(Int, Int)], lenX: Int, lenY: Int,
+                           radius: Int): Array[(Int, Int)] = {
+    val grown = scala.collection.mutable.Set[(Int, Int)](path: _*)
+    for ((i, j) <- path; a <- -radius to radius; b <- -radius to radius)
+      grown += ((i + a, j + b))
+    val fine = scala.collection.mutable.Set[(Int, Int)]()
+    for ((i, j) <- grown) {
+      fine += ((i * 2, j * 2)); fine += ((i * 2, j * 2 + 1))
+      fine += ((i * 2 + 1, j * 2)); fine += ((i * 2 + 1, j * 2 + 1))
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var startJ = 0
+    for (i <- 0 until lenX) {
+      var newStartJ = -1
+      var j = startJ
+      var broke = false
+      while (j < lenY && !broke) {
+        if (fine((i, j))) {
+          out += ((i, j))
+          if (newStartJ < 0) newStartJ = j
+        } else if (newStartJ >= 0) {
+          startJ = newStartJ
+          broke = true
+        }
+        j += 1
+      }
+    }
+    out.toArray
   }
 
   /** Exact DTW with haversine point distance. */

@@ -298,6 +298,22 @@ case class S2Cover(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** s2_cover_expanded(geom, level, h) — cover of the geometry's envelope
+  * dilated by h degrees (see CatalystHelpers.s2CoverExpanded). */
+case class S2CoverExpanded(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "s2_cover_expanded"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(wkb: Any, lvl: Any, h: Any): Any =
+    CatalystHelpers.s2CoverExpanded(wkb.asInstanceOf[Array[Byte]],
+      lvl.asInstanceOf[Int], h.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"$C.s2CoverExpanded($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression) = copy(f, s, t)
+}
+
 /** s2_boundary(cell) — planar 4-vertex cell polygon (s2_regionalizer.py:98-102). */
 case class S2Boundary(child: Expression) extends UnaryExpression {
   override def prettyName: String = "s2_boundary"

@@ -52,6 +52,73 @@ object Evaluator {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(30,10)")).cast("double")
 
+  /** MobilityPredictionEvaluator parity (reference:
+    * srai/benchmark/mobility_prediction_evaluator.py:30-150): align
+    * predictions to test trajectories by trip id (inner join — predictions
+    * without a matching test trip are SKIPPED, :73-85), raise when nothing
+    * aligns (:84-85), truncate BOTH sequences to the first k elements only
+    * when k ≤ len(true_seq) (:130-136), then average SequenceAccuracy /
+    * MeanHaversineDistance / MeanDTW over trips. DTW defaults to the
+    * reference's fastdtw(radius=1) approximation for parity;
+    * `exactDtw = true` switches to the exact DP. Returns one row
+    * (n_trips, sequence_accuracy, mean_haversine_m, mean_dtw). */
+  def mobilityPrediction(test: DataFrame, predictions: DataFrame,
+      k: Option[Int] = None, exactDtw: Boolean = false,
+      tripCol: String = "trip_id", trueCol: String = "h3_sequence_y",
+      predCol: String = "pred_sequence"): DataFrame = {
+    val joined = test.select(col(tripCol), col(trueCol).as("t"))
+      .join(predictions.select(col(tripCol), col(predCol).as("p")), Seq(tripCol))
+    val (tc, pc) = k match {
+      case Some(kk) => (
+        when(lit(kk) <= size(col("t")), slice(col("t"), 1, kk)).otherwise(col("t")),
+        when(lit(kk) <= size(col("t")), slice(col("p"), 1, kk)).otherwise(col("p")))
+      case None => (col("t"), col("p"))
+    }
+    val tPath = Trajectory.h3ToPath(tc); val pPath = Trajectory.h3ToPath(pc)
+    val dtwCol = if (exactDtw) graft.functions.Gf.dtwLatLng(tPath, pPath)
+                 else graft.functions.Gf.fastDtwLatLng(tPath, pPath)
+    val row = joined.agg(
+      count(lit(1)).as("n_trips"),
+      avg(Trajectory.sequenceAccuracy(tc, pc)).as("acc"),
+      // reference haversine_sequence returns +inf for no valid pairs
+      avg(coalesce(Trajectory.haversineMean(tPath, pPath),
+        lit(Double.PositiveInfinity))).as("hav"),
+      avg(dtwCol).as("dtw")).collect()(0)
+    require(row.getLong(0) > 0, "No matching trip ids found in test dataset")
+    import test.sparkSession.implicits._
+    Seq((row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3)))
+      .toDF("n_trips", "sequence_accuracy", "mean_haversine_m", "mean_dtw")
+  }
+
+  /** TrajectoryRegressionEvaluator parity (reference:
+    * srai/benchmark/trajectory_regression_evaluator.py:27-137 +
+    * _custom_metrics.py:14-44): align (trip_id, duration) labels with
+    * predictions by inner join (missing ids skipped, :96-105), raise when
+    * none match (:120), then the epsilon-guarded percentage metrics —
+    * MAPE = mean(|(y−p)/(y+ε)|)·100, sMAPE = mean(2|p−y|/(|p|+|y|+ε))·100
+    * — alongside MSE/RMSE/MAE. One row
+    * (n, mse, rmse, mae, mape_pct, smape_pct). */
+  def trajectoryRegression(test: DataFrame, predictions: DataFrame,
+      tripCol: String = "trip_id", labelCol: String = "duration",
+      predCol: String = "pred", epsilon: Double = 1e-10): DataFrame = {
+    val joined = test.select(col(tripCol), col(labelCol).as("y"))
+      .join(predictions.select(col(tripCol), col(predCol).as("p")), Seq(tripCol))
+    val row = joined.agg(
+      count(lit(1)).as("n"),
+      dsum((col("p") - col("y")) * (col("p") - col("y"))).as("ss"),
+      dsum(abs(col("p") - col("y"))).as("sae"),
+      dsum(abs((col("y") - col("p")) / (col("y") + epsilon))).as("sape"),
+      dsum(abs(col("p") - col("y")) * 2.0 /
+        (abs(col("p")) + abs(col("y")) + epsilon)).as("ssmape")).collect()(0)
+    val n = row.getLong(0)
+    require(n > 0, "No matching trip ids found in test dataset")
+    val mse = row.getDouble(1) / n
+    import test.sparkSession.implicits._
+    Seq((n, mse, math.sqrt(mse), row.getDouble(2) / n,
+      row.getDouble(3) / n * 100.0, row.getDouble(4) / n * 100.0))
+      .toDF("n", "mse", "rmse", "mae", "mape_pct", "smape_pct")
+  }
+
   /** One-row frame: n, mse, rmse, mae, mape, smape, r2. */
   def regressionMetrics(preds: DataFrame, labels: DataFrame,
                         predCol: String = "pred", labelCol: String = "label"): DataFrame = {

@@ -28,6 +28,18 @@ import graft.functions.Gf
   * @param pointFeatures fast path: features are points → scalar single-cell
   *                    assignment (no cover, no dedup needed for the feature
   *                    side; SURVEY.md J4). Correct for any point input.
+  * @param boxFeatures fast path for axis-aligned box footprints (image
+  *                    footprints): Some(h) asserts every feature geometry is
+  *                    a box of half-extent ≤ h around its centroid. The
+  *                    feature side then emits ONE center cell per row (no
+  *                    cover explode, no pair-dedup exchange — a box
+  *                    intersecting k cells otherwise multiplies the probe
+  *                    side ×k) while the region side covers its envelope
+  *                    dilated by h, which is lossless for such boxes; the
+  *                    exact st_intersects refinement stays unchanged. At
+  *                    planetary image volumes this removes the ×~4 cover
+  *                    explosion of the BIG side in exchange for a perimeter
+  *                    ring on the SMALL side.
   * @param broadcastRegions force (true) / forbid (false) broadcast of the
   *                    exploded region side; None → Spark decides.
   * @param salt        explicit skew salting factor for the feature side
@@ -67,7 +79,11 @@ class IntersectionJoiner(
     pointFeatures: Boolean = false,
     broadcastRegions: Option[Boolean] = None,
     salt: Int = 0,
-    strict: Boolean = false) {
+    strict: Boolean = false,
+    boxFeatures: Option[Double] = None) {
+
+  /** Both fast paths key each feature by its single center cell. */
+  private val centerKeyed = pointFeatures || boxFeatures.isDefined
 
   import Tables._
 
@@ -78,11 +94,15 @@ class IntersectionJoiner(
 
     val rGeom = col("r_geom"); val fGeom = col("f_geom")
 
+    val regionCover = boxFeatures match {
+      case Some(h) => Gf.s2CoverExpanded(rGeom, cellLevel, h)
+      case None => Gf.s2Cover(rGeom, cellLevel)
+    }
     var regionCells = regions
       .select(col(RegionsIndex), col(Geometry).as("r_geom"))
-      .withColumn("cell", explode(Gf.s2Cover(rGeom, cellLevel)))
+      .withColumn("cell", explode(regionCover))
     val featureCell: Column =
-      if (pointFeatures)
+      if (centerKeyed)
         Gf.s2Cell(call_function("st_centroid_x", fGeom),
           call_function("st_centroid_y", fGeom), cellLevel)
       else explode(Gf.s2Cover(fGeom, cellLevel))
@@ -116,12 +136,12 @@ class IntersectionJoiner(
       // dedup so the exchange carries one result geometry, not two inputs
       val withGeom = matched.select(col(RegionsIndex), col(FeaturesIndex),
         Gf.stIntersection(rGeom, fGeom).as(Geometry))
-      if (pointFeatures) withGeom
+      if (centerKeyed) withGeom
       else withGeom.dropDuplicates(RegionsIndex, FeaturesIndex)
     } else {
       // ids only — never shuffle WKB payload through the pair dedup
       val pairs = matched.select(col(RegionsIndex), col(FeaturesIndex))
-      if (pointFeatures) pairs
+      if (centerKeyed) pairs
       else pairs.dropDuplicates(RegionsIndex, FeaturesIndex)
     }
   }

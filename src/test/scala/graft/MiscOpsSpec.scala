@@ -27,6 +27,68 @@ class EvaluatorSpec extends AnyFunSuite {
     // ss_tot = 8, ss_res = 2 → r2 = 0.75
     assert(math.abs(m.getAs[Double]("r2") - 0.75) < 1e-9)
   }
+
+  test("trajectory regression evaluator mirrors the reference evaluate() flow") {
+    // goldens from numpy with the reference's epsilon formulas
+    // (_custom_metrics.py:14-44; trip 99 has no test label → skipped)
+    val test = Seq((1L, 10.0), (2L, 20.0), (3L, 0.0), (4L, 40.0))
+      .toDF("trip_id", "duration")
+    val preds = Seq((1L, 12.0), (2L, 18.0), (3L, 1.0), (4L, 45.0), (99L, 7.0))
+      .toDF("trip_id", "pred")
+    val m = Evaluator.trajectoryRegression(test, preds).collect()(0)
+    assert(m.getAs[Long]("n") === 4)
+    assert(math.abs(m.getAs[Double]("mse") - 8.5) < 1e-9)
+    assert(math.abs(m.getAs[Double]("rmse") - 2.9154759474226504) < 1e-9)
+    assert(math.abs(m.getAs[Double]("mae") - 2.5) < 1e-9)
+    // y=0 term is |1/(0+1e-10)|*100/4 = 2.5e11 — the epsilon semantics
+    assert(math.abs(m.getAs[Double]("mape_pct") - 250000000010.62497) < 1e3)
+    assert(math.abs(m.getAs[Double]("smape_pct") - 60.118209958380156) < 1e-6)
+    // no alignment at all → the reference raises; mirrored
+    intercept[IllegalArgumentException] {
+      Evaluator.trajectoryRegression(test,
+        Seq((99L, 7.0)).toDF("trip_id", "pred"))
+    }
+  }
+
+  test("mobility prediction evaluator: trip alignment, k-truncation, fastdtw") {
+    val h3a = "881e2040897ffff" // reference anchor cell (res 8 near Wrocław)
+    val nb = graft.core.H3.neighbors(graft.core.H3.fromHexString(h3a))
+      .map(graft.core.H3.toHexString)
+    val t1 = Seq(h3a, nb(0), nb(1), nb(2))
+    val p1Good = Seq(h3a, nb(0), nb(1), nb(2)) // perfect
+    val p1Off = Seq(h3a, nb(0), nb(3), nb(4)) // diverges after element 2
+    val test = Seq((1L, t1)).toDF("trip_id", "h3_sequence_y")
+
+    val perfect = Evaluator.mobilityPrediction(test,
+      Seq((1L, p1Good), (42L, p1Off)).toDF("trip_id", "pred_sequence"))
+      .collect()(0)
+    assert(perfect.getAs[Long]("n_trips") === 1) // trip 42 skipped (no label)
+    assert(perfect.getAs[Double]("sequence_accuracy") === 1.0)
+    assert(perfect.getAs[Double]("mean_haversine_m") === 0.0)
+    assert(perfect.getAs[Double]("mean_dtw") === 0.0)
+
+    val off = Evaluator.mobilityPrediction(test,
+      Seq((1L, p1Off)).toDF("trip_id", "pred_sequence")).collect()(0)
+    assert(math.abs(off.getAs[Double]("sequence_accuracy") - 0.5) < 1e-12)
+    assert(off.getAs[Double]("mean_dtw") > 0.0)
+
+    // k=2 truncates BOTH sequences before the metrics (reference :130-136)
+    val k2 = Evaluator.mobilityPrediction(test,
+      Seq((1L, p1Off)).toDF("trip_id", "pred_sequence"), k = Some(2))
+      .collect()(0)
+    assert(k2.getAs[Double]("sequence_accuracy") === 1.0)
+    assert(k2.getAs[Double]("mean_dtw") === 0.0)
+    // k larger than the sequence → full sequences (condition k <= len)
+    val k9 = Evaluator.mobilityPrediction(test,
+      Seq((1L, p1Off)).toDF("trip_id", "pred_sequence"), k = Some(9))
+      .collect()(0)
+    assert(math.abs(k9.getAs[Double]("sequence_accuracy") - 0.5) < 1e-12)
+
+    intercept[IllegalArgumentException] {
+      Evaluator.mobilityPrediction(test,
+        Seq((42L, p1Off)).toDF("trip_id", "pred_sequence"))
+    }
+  }
 }
 
 class SpatialSplitSpec extends AnyFunSuite {

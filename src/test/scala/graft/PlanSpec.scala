@@ -57,6 +57,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
   }
 
+  test("box-feature footprint join: one Generate, no pair-dedup exchange") {
+    import org.apache.spark.sql.execution.GenerateExec
+    val df = SparkEntry.queries("q11_image_footprint_join")(spark, dir)
+    df.collect()
+    // AQE wraps the broadcast side in a query stage the tree collect does
+    // not descend into — inspect the rendered FINAL plan instead
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // only the (small) region side explodes its cover; images are keyed by
+    // their single center cell — round 2 exploded both sides ×~4
+    val coverGenerates = "Generate explode\\(s2_cover".r.findAllIn(p).size
+    assert(coverGenerates === 1,
+      s"expected 1 cover Generate, got $coverGenerates:\n${p.take(2000)}")
+    assert(p.contains("s2_cover_expanded"), "region side should cover ⊕ h")
+    // center-cell keying makes each pair unique by construction → the
+    // dropDuplicates exchange keyed by (region_id, feature_id) is gone
+    // (the remaining region_id-only exchange is the final count aggregate)
+    val dedupEx = "hashpartitioning\\(region_id#\\d+, feature_id#\\d+".r
+    assert(dedupEx.findFirstIn(p).isEmpty,
+      s"pair-dedup exchange present:\n${p.take(1500)}")
+  }
+
   test("GTFS hour pivot plans without an Expand node (no ×25 row blowup)") {
     // 24 independent count_distinct aggregates would rewrite through Expand,
     // multiplying stop_times before the exchange (VERDICT r2 #2); the

@@ -326,7 +326,8 @@ object SparkEntry {
         ("/root/reference/tests/embedders/geovex/test_files/wro_9_regions.parquet", 9, "wro_9"),
         ("/root/reference/tests/embedders/geovex/test_files/AL_10_regions.parquet", 10, "AL_10"))
         .map { case (path, res, tag) =>
-          s.read.parquet(path).select(
+          // GeoParquet path: footer CRS must declare WGS84 (L1 guard)
+          graft.sources.GeoParquet.read(s, path).select(
             Gf.h3Str(Gf.h3Cell(Gf.stCentroidX(col("geometry")),
               Gf.stCentroidY(col("geometry")), res)).as(Tables.RegionsIndex),
             lit(tag).as("src"))

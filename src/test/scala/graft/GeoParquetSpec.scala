@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GeoParquet
+
+/** CRS guard on (Geo)Parquet reads — VERDICT r2 "missing" #6. */
+class GeoParquetSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("real GeoParquet fixtures with WGS84 metadata load (EPSG:4326 + OGC:CRS84)") {
+    val files = Seq(
+      "/root/reference/tests/embedders/hex2vec/test_files/poz_8_regions.parquet",
+      "/root/reference/tests/embedders/geovex/test_files/wro_9_regions.parquet",
+      "/root/reference/tests/loaders/test_files/example.parquet") // OGC:CRS84
+    for (f <- files) assert(GeoParquet.read(spark, f).count() > 0, f)
+  }
+
+  test("plain parquet without the geo key is accepted by convention") {
+    assert(GeoParquet.read(spark,
+      "/root/testdata/sf0.001/documents.parquet").count() > 0)
+  }
+
+  test("a projected CRS fails loudly instead of joining garbage cells") {
+    val meta2180 =
+      """{"version":"1.0.0","primary_column":"geometry","columns":{
+        |"geometry":{"encoding":"WKB","crs":{"id":{"authority":"EPSG","code":2180}}}}}""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      GeoParquet.validateGeoMeta(meta2180))
+    assert(e.getMessage.contains("EPSG:2180"))
+    // null crs = spec default OGC:CRS84 → accepted
+    GeoParquet.validateGeoMeta(
+      """{"columns":{"geometry":{"encoding":"WKB","crs":null}}}""")
+  }
+}

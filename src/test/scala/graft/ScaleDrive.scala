@@ -40,7 +40,7 @@ object ScaleDrive {
         .select(col("image_id").as(graft.operators.Tables.FeaturesIndex),
           col(graft.operators.Tables.Geometry))
       new graft.operators.IntersectionJoiner(cellLevel = 6,
-        broadcastRegions = Some(true))
+        broadcastRegions = Some(true), boxFeatures = Some(0.02))
         .transform(DerivedGeo.rectRegions(spark, "/root/testdata/sf0.1"), feats)
         .groupBy(graft.operators.Tables.RegionsIndex).agg(count(lit(1))).count()
     }

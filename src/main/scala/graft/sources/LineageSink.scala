@@ -136,12 +136,11 @@ object LineageSink {
     StructField("written_at", TimestampType)))
 
   /** Stage `df` under a fresh job id and run the two-phase commit. */
-  private def stageAndCommit(df: DataFrame, dir: String,
-                             bucketCol: String): Unit = {
+  private def stageAndCommit(df: DataFrame, dir: String, bucketCol: String,
+      jobId: String = java.util.UUID.randomUUID().toString): Unit = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
-    val jobId = java.util.UUID.randomUUID().toString
     val staging = new Path(s"${stagingRoot(dir)}/$jobId")
 
     df.write.mode(SaveMode.ErrorIfExists).partitionBy(bucketCol)
@@ -197,6 +196,24 @@ object LineageSink {
     val spark = df.sparkSession
     recover(spark, dir)
     stageAndCommit(df, dir, bucketCol)
+    manifest(spark, dir)
+  }
+
+  /** Idempotent commit under an EXPLICIT job id — the streaming
+    * exactly-once primitive: a commit whose `jobId` is already in the
+    * manifest is a no-op, so a replayed micro-batch (restart, checkpoint
+    * loss, speculative rerun) can never duplicate rows, and a batch that
+    * died mid-commit is rolled back by [[recover]] before the retry lands.
+    * Contract: the same jobId always carries the same data (true for
+    * Structured Streaming's replayable sources keyed by batchId). */
+  def writeBatch(df: DataFrame, dir: String, bucketCol: String,
+                 jobId: String): DataFrame = {
+    val spark = df.sparkSession
+    recover(spark, dir)
+    val m = manifest(spark, dir)
+    val seen = m.columns.contains("job_id") &&
+      !m.where(col("job_id") === jobId).isEmpty
+    if (!seen) stageAndCommit(df, dir, bucketCol, jobId)
     manifest(spark, dir)
   }
 

@@ -51,6 +51,21 @@ object Streams {
       .select(col("window.start").as("hour"), col("tile_id"), col("n"))
   }
 
+  /** Exactly-once streaming ingest into the lineage sink (north rule:
+    * resumable ingest with per-partition lineage): every micro-batch
+    * commits through [[graft.sources.LineageSink.writeBatch]] with
+    * `jobId = batch-<batchId>`, so a replayed batch — restart, checkpoint
+    * loss, mid-commit crash — lands exactly once (idempotent manifest
+    * check + staged two-phase commit). One logical stream per sink dir. */
+  def lineageSink(df: DataFrame, dir: String, bucketCol: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.LineageSink.writeBatch(batch, dir, bucketCol, s"batch-$batchId")
+        ()
+      }
+
   case class SessEvent(user_id: Long, tsMs: Long, event_id: Long)
   case class SessState(sessionSeq: Long, lastTsMs: Long, nEvents: Long,
                        startTsMs: Long)

@@ -145,6 +145,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(got).count() === 0)
   }
 
+  test("streaming lineage sink is exactly-once under batch replay") {
+    val sinkDir = java.nio.file.Files.createTempDirectory("stream_lineage").toString
+    val ckpt1 = java.nio.file.Files.createTempDirectory("ckpt1").toString
+    val stream = graft.streaming.Streams.readEvents(spark, streamDir)
+      .withColumn("bucket", concat(lit("b"), pmod(col("user_id"), lit(4))))
+    val q = graft.streaming.Streams.lineageSink(stream, sinkDir, "bucket", ckpt1)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val expected = spark.read.parquet(streamDir).count()
+    assert(spark.read.parquet(s"$sinkDir/data").count() === expected)
+
+    // checkpoint LOSS: restart with a fresh checkpoint → batch 0 is
+    // re-delivered with the same batchId; the idempotent manifest check
+    // must make the replay a no-op
+    val ckpt2 = java.nio.file.Files.createTempDirectory("ckpt2").toString
+    val q2 = graft.streaming.Streams.lineageSink(stream, sinkDir, "bucket", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val data = spark.read.parquet(s"$sinkDir/data")
+    assert(data.count() === expected)
+    assert(data.select("event_id").distinct().count() === expected)
+    // exactly one committed job in the manifest
+    assert(graft.sources.LineageSink.manifest(spark, sinkDir)
+      .select("job_id").distinct().count() === 1)
+  }
+
   test("streaming tile assignment produces tiles per window") {
     val stream = graft.streaming.Streams.readEvents(spark, streamDir)
     val q = graft.streaming.Streams.tileCounts(stream, 7)

@@ -66,8 +66,12 @@ object Evaluator {
       k: Option[Int] = None, exactDtw: Boolean = false,
       tripCol: String = "trip_id", trueCol: String = "h3_sequence_y",
       predCol: String = "pred_sequence"): DataFrame = {
+    // one row per trip on each side — the reference's dict/iloc[0]
+    // semantics; duplicate ids would otherwise double-weight a trip
     val joined = test.select(col(tripCol), col(trueCol).as("t"))
-      .join(predictions.select(col(tripCol), col(predCol).as("p")), Seq(tripCol))
+      .dropDuplicates(tripCol)
+      .join(predictions.select(col(tripCol), col(predCol).as("p"))
+        .dropDuplicates(tripCol), Seq(tripCol))
     val (tc, pc) = k match {
       case Some(kk) => (
         when(lit(kk) <= size(col("t")), slice(col("t"), 1, kk)).otherwise(col("t")),
@@ -79,7 +83,10 @@ object Evaluator {
                  else graft.functions.Gf.fastDtwLatLng(tPath, pPath)
     val row = joined.agg(
       count(lit(1)).as("n_trips"),
-      avg(Trajectory.sequenceAccuracy(tc, pc)).as("acc"),
+      // reference np.mean([]) yields NaN that poisons the overall mean;
+      // a null would silently DROP the trip from Spark's avg instead
+      avg(coalesce(Trajectory.sequenceAccuracy(tc, pc),
+        lit(Double.NaN))).as("acc"),
       // reference haversine_sequence returns +inf for no valid pairs
       avg(coalesce(Trajectory.haversineMean(tPath, pPath),
         lit(Double.PositiveInfinity))).as("hav"),

@@ -25,8 +25,12 @@ object Quantiles {
   /** Exact quantile edges of `valueCol` at k/nBins for k = 0..nBins. */
   def qcutEdges(df: DataFrame, valueCol: String, nBins: Int): Seq[Double] = {
     val ps = (0 to nBins).map(_.toDouble / nBins)
-    df.agg(expr(s"percentile($valueCol, array(${ps.mkString(", ")}))").as("e"))
+    val edges = df
+      .agg(expr(s"percentile($valueCol, array(${ps.mkString(", ")}))").as("e"))
       .collect()(0).getSeq[Double](0)
+    require(edges != null,
+      s"qcut: no non-null '$valueCol' values to bucket (pd.qcut raises here too)")
+    edges
   }
 
   /** 0-based right-closed bucket code for pre-computed (sorted) edges:

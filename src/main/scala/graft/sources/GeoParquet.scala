@@ -20,33 +20,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * independent of table size. */
 object GeoParquet {
 
-  def read(spark: SparkSession, path: String): DataFrame = {
-    assertWgs84(spark, path)
+  /** @param checkAllFooters validate every data file's footer instead of
+    *        the first one listed. Default false: a table written by ONE
+    *        producer carries one metadata stamp, and O(files) footer opens
+    *        at table-open time is real cost on a large table. Turn on for
+    *        directories assembled from multiple producers (mixed-CRS parts
+    *        would otherwise slip past a lucky first listing). */
+  def read(spark: SparkSession, path: String,
+           checkAllFooters: Boolean = false): DataFrame = {
+    assertWgs84(spark, path, checkAllFooters)
     spark.read.parquet(path)
   }
 
-  /** Footer-level CRS assert on the first data file under `path`. */
-  def assertWgs84(spark: SparkSession, path: String): Unit = {
+  /** Footer-level CRS assert on the data file(s) under `path`. */
+  def assertWgs84(spark: SparkSession, path: String,
+                  checkAllFooters: Boolean = false): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val status = fs.getFileStatus(p)
-    var file: Path = null
-    if (status.isFile) file = p
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    if (status.isFile) files += p
     else {
       val it = fs.listFiles(p, true)
-      while (file == null && it.hasNext) {
+      while (it.hasNext && (files.isEmpty || checkAllFooters)) {
         val f = it.next().getPath
         if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
-          !f.getName.startsWith(".")) file = f
+          !f.getName.startsWith(".")) files += f
       }
     }
-    if (file == null) return // empty dir: nothing to validate
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    val geo =
-      try reader.getFooter.getFileMetaData.getKeyValueMetaData.get("geo")
-      finally reader.close()
-    if (geo != null) validateGeoMeta(geo, file.toString)
+    for (file <- files) {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      val geo =
+        try reader.getFooter.getFileMetaData.getKeyValueMetaData.get("geo")
+        finally reader.close()
+      if (geo != null) validateGeoMeta(geo, file.toString)
+    }
   }
 
   /** Validate a GeoParquet `geo` metadata JSON document: every declared
@@ -64,12 +73,17 @@ object GeoParquet {
         val id = crs.path("id")
         val auth = id.path("authority").asText("")
         val code = id.path("code").asText("")
+        // PROJJSON 'id' is optional — a WGS84 CRS defined by name only
+        // (e.g. written from WKT) must still be accepted
+        val projName = crs.path("name").asText("")
         val ok = (auth == "OGC" && code == "CRS84") ||
-          (auth == "EPSG" && code == "4326")
+          (auth == "EPSG" && code == "4326") ||
+          (id.isMissingNode &&
+            (projName.contains("WGS 84") || projName.contains("CRS84")))
         require(ok, s"GeoParquet column '$name' in $source declares CRS " +
-          s"$auth:$code — this engine is WGS84-only (EPSG:4326 / OGC:CRS84); " +
-          "reproject before loading (reference geoparquet_loader.py:52-60 " +
-          "calls to_crs(WGS84))")
+          s"'$auth:$code' (name '$projName') — this engine is WGS84-only " +
+          "(EPSG:4326 / OGC:CRS84); reproject before loading (reference " +
+          "geoparquet_loader.py:52-60 calls to_crs(WGS84))")
       }
     }
   }

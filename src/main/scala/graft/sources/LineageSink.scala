@@ -174,7 +174,13 @@ object LineageSink {
     for ((_, _, partDirName, files, _) <- perBucket) {
       val target = new Path(s"${dataDir(dir)}/$partDirName")
       fs.mkdirs(target)
-      files.foreach(p => fs.rename(p, new Path(target, p.getName)))
+      files.foreach { p =>
+        // rename returns false instead of throwing on some filesystems —
+        // proceeding would register a file the move lost, so fail the
+        // commit here and let recover() roll the marker back
+        require(fs.rename(p, new Path(target, p.getName)),
+          s"commit move failed: $p -> $target (job $jobId rolled back on recovery)")
+      }
     }
 
     // phase 3: append the commit log, then retire marker + staging dir
@@ -240,14 +246,19 @@ object LineageSink {
     manifest(spark, dir)
   }
 
-  /** Rows of `df` whose bucket has no committed manifest row yet. */
+  /** Rows of `df` whose bucket has no committed manifest row yet. NULL
+    * buckets commit under Hive's default partition name, so the anti-join
+    * key must map null to that name too — a plain === would re-commit
+    * null-bucket rows on every resume. */
   private def remainingOf(df: DataFrame, dir: String,
                           bucketCol: String): DataFrame = {
     val done = completed(df.sparkSession, dir)
     if (done.columns.isEmpty) df
     else df.join(
       broadcast(done.select(col(done.columns.head).as("__done_bucket"))),
-      df(bucketCol).cast(StringType) === col("__done_bucket"), "left_anti")
+      coalesce(df(bucketCol).cast(StringType),
+        lit(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)) === col("__done_bucket"),
+      "left_anti")
   }
 
   /** Mid-job resume granularity: split the write into `groups` sequential

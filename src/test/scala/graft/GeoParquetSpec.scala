@@ -32,4 +32,12 @@ class GeoParquetSpec extends AnyFunSuite {
     GeoParquet.validateGeoMeta(
       """{"columns":{"geometry":{"encoding":"WKB","crs":null}}}""")
   }
+
+  test("PROJJSON without the optional id is accepted when the name says WGS84") {
+    GeoParquet.validateGeoMeta(
+      """{"columns":{"geometry":{"crs":{"type":"GeographicCRS","name":"WGS 84 (CRS84)"}}}}""")
+    val e = intercept[IllegalArgumentException](GeoParquet.validateGeoMeta(
+      """{"columns":{"geometry":{"crs":{"type":"ProjectedCRS","name":"ETRS89 / Poland CS92"}}}}"""))
+    assert(e.getMessage.contains("WGS84-only"))
+  }
 }

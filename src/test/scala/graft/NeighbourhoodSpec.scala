@@ -197,6 +197,24 @@ class LineageSinkSpec extends AnyFunSuite {
     assert(LineageSink.cleanOrphans(spark, dir) === 0)
   }
 
+  test("null buckets commit once and resume is still a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("lineage6").toString
+    val df = Seq((1L, Option("b0")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("id", "bucket")
+    LineageSink.write(df, dir, "bucket")
+    assert(spark.read.parquet(s"$dir/data").count() === 3)
+    // null rows landed in Hive's default partition with a manifest row
+    val buckets = LineageSink.manifest(spark, dir)
+      .select("bucket").collect().map(_.getString(0)).toSet
+    assert(buckets === Set("b0", "__HIVE_DEFAULT_PARTITION__"))
+    // resume must NOT re-commit the null bucket (null === name is never true
+    // under a plain equi-join — the coalesce'd key makes it match)
+    LineageSink.resumeWrite(df, dir, "bucket")
+    assert(spark.read.parquet(s"$dir/data").count() === 3)
+    assert(LineageSink.manifest(spark, dir)
+      .agg(sum("rows")).collect()(0).getLong(0) === 3)
+  }
+
   test("writeGrouped commits in bucket groups and resumes at group granularity") {
     val dir = java.nio.file.Files.createTempDirectory("lineage3").toString
     val full = (0 until 400).map(i => (i.toLong, s"b${i % 8}")).toDF("id", "bucket")

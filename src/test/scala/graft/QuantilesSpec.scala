@@ -40,6 +40,12 @@ class QuantilesSpec extends AnyFunSuite {
     assert(codes(Seq(5, 5, 5, 5)) === Seq(null, null, null, null))
   }
 
+  test("empty input fails with a clear error like pd.qcut") {
+    val empty = Seq.empty[(Int, Long)].toDF("id", "n")
+    val e = intercept[IllegalArgumentException](Quantiles.qcut(empty, "n", 4))
+    assert(e.getMessage.contains("no non-null"))
+  }
+
   test("ntile disagrees with qcut on the skewed fixture (documented gap)") {
     val df = Seq(1, 1, 1, 1, 1, 1, 1, 1, 1, 10, 20, 30).zipWithIndex
       .map { case (v, i) => (i, v.toLong) }.toDF("id", "n")

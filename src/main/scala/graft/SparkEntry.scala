@@ -444,6 +444,58 @@ object SparkEntry {
       operators.Quantiles.qcut(stats, "n", 4).orderBy("cell")
     }),
 
+    // --- remove_interiors (P3, reference geometry.py:50-64): polygons with
+    // id-sized square holes, built as WKT; the oracle is the closed-form
+    // shell/holed area (coordinates are quarter-precision → shoelace sums
+    // are exact in both engines). ---
+    "q48_remove_interiors" -> ((s, dir) => {
+      val ids = t(prep(s), dir, "nation").select(col("n_nationkey").as("id"))
+      val x = (col("id") % 40).cast("double") * 0.5 - 10.0
+      val y = (col("id") % 20).cast("double") * 0.5 - 5.0
+      val h = (col("id") % 3).cast("double") * 0.25 + 0.25 // hole side
+      def pt(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        concat(a.cast("string"), lit(" "), b.cast("string"))
+      def ring(cs: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)]) =
+        concat_ws(", ", cs.map { case (a, b) => pt(a, b) }: _*)
+      val shell = ring(Seq((x, y), (x + 2.0, y), (x + 2.0, y + 2.0),
+        (x, y + 2.0), (x, y)))
+      val hole = ring(Seq((x + 0.5, y + 0.5), (x + 0.5 + h, y + 0.5),
+        (x + 0.5 + h, y + 0.5 + h), (x + 0.5, y + 0.5 + h), (x + 0.5, y + 0.5)))
+      val wkt = concat(lit("POLYGON (("), shell, lit("), ("), hole, lit("))"))
+      val geom = call_function("st_geomfromtext", wkt)
+      ids.select(col("id"),
+        round(Gf.stArea(geom), 9).as("area_with_hole"),
+        round(Gf.stArea(Gf.stRemoveInteriors(geom)), 9).as("area_shell"))
+        .orderBy("id")
+    }),
+
+    // --- metric buffer (P4, reference geometry.py:67-94 pyproj AEQD
+    // round-trip): geodesic roundness certificate. For each point, buffer
+    // by 50 km and probe destination points at 4 bearings × {0.99R, 1.01R}
+    // (closed-form spherical destination): inside probes must intersect,
+    // outside must not (the 32-gon boundary sits in [0.9952R, R]). ---
+    "q49_buffer_roundness" -> ((s, dir) => {
+      val Re = 6371008.8 // the AEQD sphere radius used by bufferMeters
+      val R = 50000.0
+      val pts = DerivedGeo.points(prep(s), dir)
+        .where(col("point_id") < 40)
+        .select(col("point_id"), col("lng"), col("lat"))
+      val probes = pts
+        .withColumn("bearing", explode(lit(Array(0.0, 90.0, 180.0, 270.0))))
+        .withColumn("f", explode(lit(Array(0.99, 1.01))))
+      val phi1 = radians(col("lat")); val lam1 = radians(col("lng"))
+      val theta = radians(col("bearing"))
+      val delta = col("f") * R / Re
+      val phi2 = asin(sin(phi1) * cos(delta) + cos(phi1) * sin(delta) * cos(theta))
+      val lam2 = lam1 + atan2(sin(theta) * sin(delta) * cos(phi1),
+        cos(delta) - sin(phi1) * sin(phi2))
+      val buf = Gf.stBufferMeters(Gf.stPoint(col("lng"), col("lat")), lit(R))
+      probes.select(col("point_id"), col("bearing"), col("f"),
+        Gf.stIntersects(buf, Gf.stPoint(degrees(lam2), degrees(phi2)))
+          .cast("int").as("contains"))
+        .orderBy("point_id", "bearing", "f")
+    }),
+
     // --- trajectory metrics (A13, reference _custom_metrics.py:45-100):
     // per-user ordered paths; haversine-mean + element-wise accuracy are
     // driver-certified (closed-form SQL); exact DTW is spec-pinned
@@ -1004,6 +1056,23 @@ object SparkEntry {
          |      FROM p GROUP BY 1)
          |SELECT cell, n, CAST(NTILE(4) OVER (ORDER BY n, cell) AS INT) AS bucket
          |FROM c ORDER BY cell""".stripMargin
+    },
+
+    "q48_remove_interiors" ->
+      """SELECT n_nationkey AS id,
+        |  round(4.0 - power(CAST(n_nationkey % 3 AS DOUBLE) * 0.25 + 0.25, 2), 9)
+        |    AS area_with_hole,
+        |  CAST(4.0 AS DOUBLE) AS area_shell
+        |FROM nation ORDER BY id""".stripMargin,
+
+    "q49_buffer_roundness" -> {
+      s"""WITH p AS (${DerivedGeo.pointsSql}),
+         |q AS (SELECT point_id FROM p WHERE point_id < 40),
+         |bs AS (SELECT unnest([0.0, 90.0, 180.0, 270.0]) AS bearing),
+         |fs AS (SELECT unnest([0.99, 1.01]) AS f)
+         |SELECT point_id, bearing, f,
+         |  CAST(CASE WHEN f < 1.0 THEN 1 ELSE 0 END AS INT) AS contains
+         |FROM q, bs, fs ORDER BY point_id, bearing, f""".stripMargin
     },
 
     "q47_qcut_buckets" -> {

@@ -75,6 +75,15 @@ object GeoOps {
 
   def area(a: Array[Byte]): Double = Geo.fromWkb(a).getArea
 
+  /** Drop interior rings (reference srai/geometry.py:50-64). */
+  def removeInteriors(a: Array[Byte]): Array[Byte] =
+    Geo.toWkb(Geo.removeInteriors(Geo.fromWkb(a)))
+
+  /** Metric buffer via spherical AEQD round-trip (reference
+    * srai/geometry.py:67-94). */
+  def bufferMeters(a: Array[Byte], meters: Double): Array[Byte] =
+    Geo.toWkb(Geo.bufferMeters(Geo.fromWkb(a), meters))
+
   def centroidX(a: Array[Byte]): Double = Geo.fromWkb(a).getCentroid.getX
   def centroidY(a: Array[Byte]): Double = Geo.fromWkb(a).getCentroid.getY
 

@@ -26,6 +26,8 @@ object Gf {
     "st_point" -> (e => StPoint(e(0), e(1))),
     "st_box" -> (e => StBox(e(0), e(1), e(2), e(3))),
     "st_area" -> (e => StArea(e(0))),
+    "st_remove_interiors" -> (e => StRemoveInteriors(e(0))),
+    "st_buffer_meters" -> (e => StBufferMeters(e(0), e(1))),
     "st_centroid_x" -> (e => StCentroidX(e(0))),
     "st_xmin" -> (e => StXMin(e(0))),
     "st_ymax" -> (e => StYMax(e(0))),
@@ -98,6 +100,9 @@ object Gf {
     call_function("st_box", xmin.cast("double"), ymin.cast("double"),
       xmax.cast("double"), ymax.cast("double"))
   def stArea(a: Column): Column = call_function("st_area", a)
+  def stRemoveInteriors(a: Column): Column = call_function("st_remove_interiors", a)
+  def stBufferMeters(a: Column, m: Column): Column =
+    call_function("st_buffer_meters", a, m)
   def stCentroidX(a: Column): Column = call_function("st_centroid_x", a)
   def stXMin(a: Column): Column = call_function("st_xmin", a)
   def stYMax(a: Column): Column = call_function("st_ymax", a)

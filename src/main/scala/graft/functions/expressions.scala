@@ -135,6 +135,32 @@ case class StBox(first: Expression, second: Expression, third: Expression,
       c: Expression, d: Expression): Expression = copy(a, b, c, d)
 }
 
+/** st_remove_interiors(geom) — drop polygon holes (P3; geometry.py:50-64). */
+case class StRemoveInteriors(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "st_remove_interiors"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    GeoOps.removeInteriors(v.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"$G.removeInteriors($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** st_buffer_meters(geom, m) — geodesic buffer via the spherical AEQD
+  * round-trip (P4; geometry.py:67-94). */
+case class StBufferMeters(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "st_buffer_meters"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(g: Any, m: Any): Any =
+    GeoOps.bufferMeters(g.asInstanceOf[Array[Byte]], m.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$G.bufferMeters($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class StArea(child: Expression) extends UnaryExpression {
   override def prettyName: String = "st_area"
   override def nullIntolerant: Boolean = true

@@ -141,6 +141,44 @@ object SparkEntry {
       center.unionAll(l16).orderBy("kind", Tables.RegionsIndex, "token")
     }),
 
+    // --- S2 within-refinement (J3, reference s2_regionalizer.py buffer
+    // semantics): regionalize the UNION of the two golden wro level-14
+    // cells' boundaries with buffer=false — the cover admits every
+    // edge-touching neighbor cell (11 at this site), the within refine must
+    // keep exactly the two golden cells (a cell is within a union
+    // containing itself; an edge-touching neighbor is not). The union is
+    // built from OUR s2_boundary of the golden tokens so the within test
+    // compares identical vertex coordinates (the golden parquet's polygons
+    // differ from any reimplementation at the ~1e-9° level, which `within`
+    // is exact about). ---
+    "q50_s2_within_refine" -> ((s, dir) => {
+      val golden = prep(s).read.parquet(
+        "/root/reference/tests/embedders/s2vec/test_files/wro_s2_14_regions.parquet")
+      val area = golden
+        .select(Gf.s2Boundary(Gf.s2FromToken(col("region_id"))).as(Tables.Geometry))
+        .agg(Gf.stUnionAgg(col(Tables.Geometry)).as(Tables.Geometry))
+      new S2Regionalizer(14, buffer = false).transform(area)
+        .select(Tables.RegionsIndex).orderBy(Tables.RegionsIndex)
+    }),
+
+    // --- H3 ring-buffer CELLS (N9, reference srai/h3.py:209-226): buffer a
+    // deterministic seed slice of the golden poz_8 vocabulary by k=2 disks
+    // and keep the in-vocabulary portion; the oracle recomputes membership
+    // as hexdist(seed, cell) ≤ 2 over the IJ fixture. (Out-of-vocabulary
+    // buffer cells have no SQL-expressible ids; the dissolved-geometry
+    // variant is q31-certified.) ---
+    "q51_ring_buffer_cells" -> ((s, dir) => {
+      prep(s)
+      val regions = s.read.parquet(
+        "/root/reference/tests/embedders/hex2vec/test_files/poz_8_regions.parquet")
+        .select(col("region_id").as(Tables.RegionsIndex))
+      val seeds = regions.where(
+        substring(col(Tables.RegionsIndex), 9, 1).isin("1", "3", "5", "7", "9"))
+      Neighbourhoods.h3RingBuffer(seeds, 2)
+        .join(regions, Seq(Tables.RegionsIndex), "left_semi")
+        .orderBy(Tables.RegionsIndex)
+    }),
+
     // --- image pipeline (graft payload): synth → decode/hash → tile ---
     "q10_image_tile_counts" -> ((s, dir) => {
       val k = graft.sources.Images.key(col("image_id"))
@@ -1057,6 +1095,20 @@ object SparkEntry {
          |SELECT cell, n, CAST(NTILE(4) OVER (ORDER BY n, cell) AS INT) AS bucket
          |FROM c ORDER BY cell""".stripMargin
     },
+
+    "q50_s2_within_refine" ->
+      """SELECT region_id
+        |FROM read_parquet('/root/reference/tests/embedders/s2vec/test_files/wro_s2_14_regions.parquet')
+        |ORDER BY region_id""".stripMargin,
+
+    "q51_ring_buffer_cells" ->
+      """WITH ij AS (SELECT region_id, i, j FROM read_parquet('/root/repo/fixtures/poz8_ij.parquet')),
+        |seeds AS (SELECT region_id, i, j FROM ij
+        |          WHERE substring(region_id, 9, 1) IN ('1','3','5','7','9'))
+        |SELECT DISTINCT b.region_id AS region_id
+        |FROM seeds a JOIN ij b
+        |  ON (abs(a.i - b.i) + abs(a.j - b.j) + abs((a.i - b.i) - (a.j - b.j))) // 2 <= 2
+        |ORDER BY b.region_id""".stripMargin,
 
     "q48_remove_interiors" ->
       """SELECT n_nationkey AS id,

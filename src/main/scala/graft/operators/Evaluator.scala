@@ -67,11 +67,14 @@ object Evaluator {
       tripCol: String = "trip_id", trueCol: String = "h3_sequence_y",
       predCol: String = "pred_sequence"): DataFrame = {
     // one row per trip on each side — the reference's dict/iloc[0]
-    // semantics; duplicate ids would otherwise double-weight a trip
+    // semantics; duplicate ids would otherwise double-weight a trip.
+    // DataFrames carry no row order, so the reference's first/last-wins
+    // choice is replaced by a DETERMINISTIC canonical pick (min sequence);
+    // dropDuplicates would keep whichever row the partitioning surfaces.
     val joined = test.select(col(tripCol), col(trueCol).as("t"))
-      .dropDuplicates(tripCol)
+      .groupBy(tripCol).agg(min(col("t")).as("t"))
       .join(predictions.select(col(tripCol), col(predCol).as("p"))
-        .dropDuplicates(tripCol), Seq(tripCol))
+        .groupBy(tripCol).agg(min(col("p")).as("p")), Seq(tripCol))
     val (tc, pc) = k match {
       case Some(kk) => (
         when(lit(kk) <= size(col("t")), slice(col("t"), 1, kk)).otherwise(col("t")),

@@ -43,12 +43,14 @@ object Triplets {
               negativesPerAnchor: Int = 2, seed: Long = 42L,
               oversample: Int = 16): DataFrame = {
     require(oversample >= negativesPerAnchor, "oversample too small")
-    // persisted: the vocabulary feeds positives/excluded/index/picks and two
-    // driver actions (count + bucket sizes) — without the cache the distinct
-    // re-shuffles once per branch. Bounded by the embedding vocabulary.
+    // materialized once (localCheckpoint): the vocabulary feeds
+    // positives/excluded/index/picks and two driver actions (count + bucket
+    // sizes) — without it the distinct re-shuffles once per branch. Unlike
+    // persist(), the checkpointed blocks are freed by the ContextCleaner as
+    // soon as the result frame is unreachable. Bounded by the vocabulary.
     val ids = regions.select(col(Tables.RegionsIndex)).distinct()
       .withColumn("a64", conv(col(Tables.RegionsIndex), 16, 10).cast("long"))
-      .persist()
+      .localCheckpoint(true)
     val n = ids.count()
 
     val positives = Neighbourhoods.h3Closure(ids, 1)
@@ -80,13 +82,13 @@ object Triplets {
       .join(excluded, Seq("anchor", "candidate"), "left_anti")
 
     val w = Window.partitionBy("anchor").orderBy("i", "candidate")
-    // persisted: evaluated by the have-count, the top-up anti-join and the
-    // final union — O(n · negativesPerAnchor) rows
+    // materialized once: evaluated by the have-count, the top-up anti-join
+    // and the final union — O(n · negativesPerAnchor) rows, self-freeing
     val primary = picks
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= negativesPerAnchor)
       .select(col("anchor"), col("candidate"))
-      .persist()
+      .localCheckpoint(true)
 
     // guarantee pass: anchors the bounded picks under-filled (normally none)
     val have = primary.groupBy("anchor").agg(count(lit(1)).as("have"))

@@ -70,20 +70,36 @@ object GeoParquet {
       val name = names.next()
       val crs = cols.path(name).path("crs")
       if (!crs.isMissingNode && !crs.isNull) {
-        val id = crs.path("id")
-        val auth = id.path("authority").asText("")
-        val code = id.path("code").asText("")
-        // PROJJSON 'id' is optional — a WGS84 CRS defined by name only
-        // (e.g. written from WKT) must still be accepted
-        val projName = crs.path("name").asText("")
-        val ok = (auth == "OGC" && code == "CRS84") ||
-          (auth == "EPSG" && code == "4326") ||
-          (id.isMissingNode &&
-            (projName.contains("WGS 84") || projName.contains("CRS84")))
-        require(ok, s"GeoParquet column '$name' in $source declares CRS " +
-          s"'$auth:$code' (name '$projName') — this engine is WGS84-only " +
-          "(EPSG:4326 / OGC:CRS84); reproject before loading (reference " +
-          "geoparquet_loader.py:52-60 calls to_crs(WGS84))")
+        val ok =
+          if (crs.isTextual) {
+            // legacy (spec <= 0.4 era) encoding: crs is a WKT/authority
+            // string; accept only a GEOGRAPHIC WGS84 text
+            val t = crs.asText()
+            (t.startsWith("GEOGCRS") || t.startsWith("GEOGCS") ||
+              t.startsWith("EPSG:") || t.startsWith("OGC:")) &&
+              (t.contains("WGS 84") || t.contains("WGS84") ||
+                t.contains("CRS84") || t.contains("4326"))
+          } else {
+            val id = crs.path("id")
+            val auth = id.path("authority").asText("")
+            val code = id.path("code").asText("")
+            // PROJJSON 'id' is optional — a WGS84 CRS defined by name only
+            // must still be accepted, but ONLY a geographic one: projected
+            // derivatives are named like "WGS 84 / UTM zone 33N" and carry
+            // meter coordinates
+            val projName = crs.path("name").asText("")
+            val projType = crs.path("type").asText("")
+            (auth == "OGC" && code == "CRS84") ||
+              (auth == "EPSG" && code == "4326") ||
+              (id.isMissingNode && projType.startsWith("Geographic") &&
+                !projName.contains("/") &&
+                (projName.contains("WGS 84") || projName.contains("CRS84")))
+          }
+        require(ok, s"GeoParquet column '$name' in $source declares a " +
+          s"non-WGS84 (or non-geographic) CRS: ${crs.toString.take(200)} — " +
+          "this engine is WGS84-only (EPSG:4326 / OGC:CRS84); reproject " +
+          "before loading (reference geoparquet_loader.py:52-60 calls " +
+          "to_crs(WGS84))")
       }
     }
   }

@@ -205,21 +205,38 @@ object LineageSink {
     manifest(spark, dir)
   }
 
+  /** Already-committed job ids seen by THIS driver — short-circuits the
+    * per-batch manifest scan for a long-running stream (the manifest is a
+    * growing file log; re-reading it every micro-batch would make trigger
+    * overhead grow with stream age). Correctness never depends on the
+    * cache: a fresh driver falls through to the manifest read once per
+    * unseen id. */
+  private val seenJobIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Idempotent commit under an EXPLICIT job id — the streaming
     * exactly-once primitive: a commit whose `jobId` is already in the
-    * manifest is a no-op, so a replayed micro-batch (restart, checkpoint
-    * loss, speculative rerun) can never duplicate rows, and a batch that
-    * died mid-commit is rolled back by [[recover]] before the retry lands.
-    * Contract: the same jobId always carries the same data (true for
-    * Structured Streaming's replayable sources keyed by batchId). */
+    * manifest is a no-op, so a REPLAYED micro-batch (restart from the same
+    * checkpoint, speculative rerun, a mid-commit crash rolled back by
+    * [[recover]]) can never duplicate rows.
+    * Contract: the same jobId always carries the same data. Structured
+    * Streaming guarantees this for a given checkpoint (batchId → offsets is
+    * recorded before processing); after a checkpoint LOSS the batch ids
+    * restart and may cover different data — exactly-once then holds only if
+    * the re-planned batches carry the same content, otherwise rows routed
+    * into an already-committed id are skipped. Keep the checkpoint durable;
+    * it is the source of the mapping this sink dedupes on. */
   def writeBatch(df: DataFrame, dir: String, bucketCol: String,
                  jobId: String): DataFrame = {
     val spark = df.sparkSession
-    recover(spark, dir)
-    val m = manifest(spark, dir)
-    val seen = m.columns.contains("job_id") &&
-      !m.where(col("job_id") === jobId).isEmpty
-    if (!seen) stageAndCommit(df, dir, bucketCol, jobId)
+    val cacheKey = s"$dir $jobId"
+    if (!seenJobIds.contains(cacheKey)) {
+      recover(spark, dir)
+      val m = manifest(spark, dir)
+      val seen = m.columns.contains("job_id") &&
+        !m.where(col("job_id") === jobId).isEmpty
+      if (!seen) stageAndCommit(df, dir, bucketCol, jobId)
+      seenJobIds.add(cacheKey)
+    }
     manifest(spark, dir)
   }
 

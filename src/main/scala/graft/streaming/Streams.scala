@@ -54,9 +54,13 @@ object Streams {
   /** Exactly-once streaming ingest into the lineage sink (north rule:
     * resumable ingest with per-partition lineage): every micro-batch
     * commits through [[graft.sources.LineageSink.writeBatch]] with
-    * `jobId = batch-<batchId>`, so a replayed batch — restart, checkpoint
-    * loss, mid-commit crash — lands exactly once (idempotent manifest
-    * check + staged two-phase commit). One logical stream per sink dir. */
+    * `jobId = batch-<batchId>`, so a replayed batch — restart from the
+    * checkpoint, mid-commit crash — lands exactly once (idempotent manifest
+    * check + staged two-phase commit). One logical stream per sink dir, and
+    * the checkpoint must be durable: batchId→offsets lives there, and a
+    * LOST checkpoint re-plans batch ids over possibly-different data, which
+    * no batchId-keyed idempotent sink can dedupe correctly (this is the
+    * standard Spark foreachBatch contract). */
   def lineageSink(df: DataFrame, dir: String, bucketCol: String,
                   checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream

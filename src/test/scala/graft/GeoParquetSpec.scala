@@ -27,7 +27,7 @@ class GeoParquetSpec extends AnyFunSuite {
         |"geometry":{"encoding":"WKB","crs":{"id":{"authority":"EPSG","code":2180}}}}}""".stripMargin
     val e = intercept[IllegalArgumentException](
       GeoParquet.validateGeoMeta(meta2180))
-    assert(e.getMessage.contains("EPSG:2180"))
+    assert(e.getMessage.contains("2180") && e.getMessage.contains("WGS84-only"))
     // null crs = spec default OGC:CRS84 → accepted
     GeoParquet.validateGeoMeta(
       """{"columns":{"geometry":{"encoding":"WKB","crs":null}}}""")
@@ -39,5 +39,21 @@ class GeoParquetSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](GeoParquet.validateGeoMeta(
       """{"columns":{"geometry":{"crs":{"type":"ProjectedCRS","name":"ETRS89 / Poland CS92"}}}}"""))
     assert(e.getMessage.contains("WGS84-only"))
+  }
+
+  test("'WGS 84 / UTM' projected derivatives are rejected despite the name") {
+    // meter coordinates wearing a WGS 84 name — the exact silent-garbage case
+    intercept[IllegalArgumentException](GeoParquet.validateGeoMeta(
+      """{"columns":{"geometry":{"crs":{"type":"ProjectedCRS","name":"WGS 84 / UTM zone 33N"}}}}"""))
+    intercept[IllegalArgumentException](GeoParquet.validateGeoMeta(
+      """{"columns":{"geometry":{"crs":{"type":"GeographicCRS","name":"WGS 84 / odd derived"}}}}"""))
+  }
+
+  test("legacy textual crs: geographic WGS84 WKT accepted, projected rejected") {
+    GeoParquet.validateGeoMeta(
+      """{"columns":{"geometry":{"crs":"GEOGCRS[\"WGS 84\",DATUM[...]]"}}}""")
+    GeoParquet.validateGeoMeta("""{"columns":{"geometry":{"crs":"EPSG:4326"}}}""")
+    intercept[IllegalArgumentException](GeoParquet.validateGeoMeta(
+      """{"columns":{"geometry":{"crs":"PROJCRS[\"WGS 84 / UTM zone 33N\",...]"}}}"""))
   }
 }

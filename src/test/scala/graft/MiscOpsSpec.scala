@@ -156,9 +156,11 @@ class StreamingSpec extends AnyFunSuite {
     val expected = spark.read.parquet(streamDir).count()
     assert(spark.read.parquet(s"$sinkDir/data").count() === expected)
 
-    // checkpoint LOSS: restart with a fresh checkpoint → batch 0 is
-    // re-delivered with the same batchId; the idempotent manifest check
-    // must make the replay a no-op
+    // restart with a fresh checkpoint over the SAME source content: batch 0
+    // is re-planned with the same batchId and identical data; the idempotent
+    // manifest check must make the replay a no-op. (A lost checkpoint with
+    // NEW data arrived meanwhile is outside the foreachBatch contract —
+    // documented on Streams.lineageSink.)
     val ckpt2 = java.nio.file.Files.createTempDirectory("ckpt2").toString
     val q2 = graft.streaming.Streams.lineageSink(stream, sinkDir, "bucket", ckpt2)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()

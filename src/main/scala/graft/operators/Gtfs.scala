@@ -32,10 +32,71 @@ object Gtfs {
   def departureHour(departureTime: Column): Column =
     (regexp_replace(substring(departureTime, 1, 2), ":", "").cast("int") % 24)
 
-  def transform(stopTimes: DataFrame, trips: DataFrame, stops: DataFrame): DataFrame = {
+  private val WeekdayCols = Seq("monday", "tuesday", "wednesday", "thursday",
+    "friday", "saturday", "sunday")
+
+  /** Service ids active on a YYYYMMDD date — GTFS calendar semantics
+    * (gtfs_kit's is-active-on-date rule the reference's
+    * compute_stop_time_series applies): the date's weekday flag is 1 and
+    * the date falls in [start_date, end_date] (YYYYMMDD strings compare
+    * lexicographically), then calendar_dates exceptions: type 1 adds the
+    * service for the date, type 2 removes it. */
+  def activeServices(calendar: DataFrame, calendarDates: Option[DataFrame],
+                     date: String): DataFrame = {
+    val d = java.time.LocalDate.parse(date,
+      java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    val flag = WeekdayCols(d.getDayOfWeek.getValue - 1)
+    val base = calendar
+      .where(col(flag) === 1 &&
+        col("start_date") <= date && col("end_date") >= date)
+      .select("service_id")
+    calendarDates match {
+      case None => base
+      case Some(cd) =>
+        val adds = cd.where(col("date") === date && col("exception_type") === 1)
+          .select("service_id")
+        val removes = cd.where(col("date") === date && col("exception_type") === 2)
+          .select("service_id")
+        base.unionAll(adds).distinct()
+          .join(removes, Seq("service_id"), "left_anti")
+    }
+  }
+
+  /** The date the reference aggregates: the Wednesday of the feed's first
+    * Monday-Sunday week (gtfs_loader.py:103-106 — "first wednesday", via
+    * gtfs_kit feed.get_first_week()[2], which aligns the feed's first date
+    * forward to a Monday). */
+  def firstWednesday(calendar: DataFrame): String = {
+    val fmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
+    val start = calendar.agg(min("start_date")).collect()(0).getString(0)
+    val d = java.time.LocalDate.parse(start, fmt)
+    val monday = d.plusDays((8 - d.getDayOfWeek.getValue) % 7)
+    monday.plusDays(2).format(fmt)
+  }
+
+  /** @param calendar  optional GTFS calendar table (service_id, weekday
+    *                   flags, start_date, end_date): when present, trips are
+    *                   restricted to services ACTIVE on `date` — or, when
+    *                   `date` is None, on the feed's first Wednesday,
+    *                   exactly the reference's aggregation date
+    *                   (gtfs_loader.py:103-106). Trips need a `service_id`
+    *                   column then.
+    * @param calendarDates optional exception table (service_id, date,
+    *                   exception_type 1=add / 2=remove). */
+  def transform(stopTimes: DataFrame, trips: DataFrame, stops: DataFrame,
+                calendar: Option[DataFrame] = None,
+                calendarDates: Option[DataFrame] = None,
+                date: Option[String] = None): DataFrame = {
+    val activeTrips = calendar match {
+      case None => trips
+      case Some(cal) =>
+        val day = date.getOrElse(firstWednesday(cal))
+        trips.join(broadcast(activeServices(cal, calendarDates, day)),
+          Seq("service_id"), "left_semi")
+    }
     val joined = stopTimes
       .where(col("departure_time").isNotNull)
-      .join(broadcast(trips.select("trip_id", "trip_headsign")), Seq("trip_id"))
+      .join(broadcast(activeTrips.select("trip_id", "trip_headsign")), Seq("trip_id"))
       .withColumn("hour", departureHour(col("departure_time")))
 
     // heavy pass: one row per (stop, hour); the lone distinct group plans

@@ -179,6 +179,37 @@ object SparkEntry {
         .orderBy(Tables.RegionsIndex)
     }),
 
+    // --- audio features over PCM16 binary (multimodal training-data ops):
+    // REAL little-endian int16 decode + windowed RMS + zero-crossing count
+    // inside Catalyst expressions; synthesis is integer arithmetic the
+    // oracle replays sample-by-sample. ---
+    "q52_audio_features" -> ((s, dir) => {
+      val pcm = call_function("synth_pcm16", col("audio_id"), lit(1024))
+      t(prep(s), dir, "documents").select(col("doc_id").as("audio_id"))
+        .select(col("audio_id"),
+          call_function("audio_zero_crossings", pcm).as("zcr"),
+          posexplode(call_function("audio_rms_windows", pcm, lit(256))))
+        .select(col("audio_id"), col("pos").cast("int").as("w"),
+          round(col("col"), 6).as("rms"), col("zcr"))
+        .orderBy("audio_id", "w")
+    }),
+
+    // --- video frame sampling (multimodal training-data ops): toy
+    // deterministic container (header + gray frames), REAL header parse +
+    // strided frame slicing + per-frame luma mean; oracle replays the pixel
+    // formula per sampled frame. ---
+    "q53_video_frames" -> ((s, dir) => {
+      val vids = t(prep(s), dir, "nation")
+        .select(col("n_nationkey").cast("long").as("video_id"))
+      val container = call_function("synth_video",
+        col("video_id"), lit(16), lit(16), lit(12))
+      vids.select(col("video_id"),
+          posexplode(call_function("video_frame_sample", container, lit(3))))
+        .select(col("video_id"), (col("pos") * 3).cast("int").as("frame"),
+          round(call_function("bytes_mean", col("col")), 6).as("mean_luma"))
+        .orderBy("video_id", "frame")
+    }),
+
     // --- image pipeline (graft payload): synth → decode/hash → tile ---
     "q10_image_tile_counts" -> ((s, dir) => {
       val k = graft.sources.Images.key(col("image_id"))
@@ -1095,6 +1126,31 @@ object SparkEntry {
          |SELECT cell, n, CAST(NTILE(4) OVER (ORDER BY n, cell) AS INT) AS bucket
          |FROM c ORDER BY cell""".stripMargin
     },
+
+    "q52_audio_features" ->
+      """WITH a AS (SELECT doc_id AS audio_id FROM documents),
+        |s AS (SELECT audio_id, i, ((audio_id * 31 + i * 7919) % 65536) - 32768 AS v
+        |      FROM a, (SELECT unnest(generate_series(0, 1023)) AS i) t),
+        |r AS (SELECT audio_id, CAST(i // 256 AS INT) AS w,
+        |         round(sqrt(CAST(sum(v * v) AS DOUBLE) / 256), 6) AS rms
+        |      FROM s GROUP BY 1, 2),
+        |z AS (SELECT audio_id,
+        |         CAST(count(*) FILTER (WHERE v * lead_v < 0) AS BIGINT) AS zcr
+        |      FROM (SELECT audio_id, v,
+        |              lead(v) OVER (PARTITION BY audio_id ORDER BY i) AS lead_v
+        |            FROM s)
+        |      GROUP BY 1)
+        |SELECT r.audio_id, r.w, r.rms, z.zcr
+        |FROM r JOIN z USING (audio_id) ORDER BY 1, 2""".stripMargin,
+
+    "q53_video_frames" ->
+      """WITH v AS (SELECT CAST(n_nationkey AS BIGINT) AS video_id FROM nation),
+        |f AS (SELECT unnest([0, 3, 6, 9]) AS frame),
+        |px AS (SELECT unnest(generate_series(0, 255)) AS p)
+        |SELECT video_id, CAST(frame AS INT) AS frame,
+        |  round(CAST(sum((video_id + frame * 31 + px.p * 7) % 256) AS DOUBLE) / 256, 6)
+        |    AS mean_luma
+        |FROM v, f, px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q50_s2_within_refine" ->
       """SELECT region_id

@@ -70,6 +70,12 @@ object Gf {
     "h3_latlng" -> (e => H3LatLng(e(0))),
     "dtw_latlng" -> (e => DtwLatLng(e(0), e(1))),
     "fastdtw_latlng" -> (e => FastDtwLatLng(e(0), e(1), e(2))),
+    "synth_pcm16" -> (e => SynthPcm16(e(0), e(1))),
+    "audio_rms_windows" -> (e => AudioRmsWindows(e(0), e(1))),
+    "audio_zero_crossings" -> (e => AudioZeroCrossings(e(0))),
+    "synth_video" -> (e => SynthVideo(e(0), e(1), e(2), e(3))),
+    "video_frame_sample" -> (e => VideoFrameSample(e(0), e(1))),
+    "bytes_mean" -> (e => BytesMean(e(0))),
     "topk_agg" -> (e => TopKAgg(e(0), e(1), e(2))),
     "st_union_agg" -> (e => StUnionAgg(e(0))))
 

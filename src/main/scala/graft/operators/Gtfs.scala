@@ -65,11 +65,23 @@ object Gtfs {
   /** The date the reference aggregates: the Wednesday of the feed's first
     * Monday-Sunday week (gtfs_loader.py:103-106 — "first wednesday", via
     * gtfs_kit feed.get_first_week()[2], which aligns the feed's first date
-    * forward to a Monday). */
-  def firstWednesday(calendar: DataFrame): String = {
+    * forward to a Monday). The feed's first date considers BOTH calendar
+    * start_dates and calendar_dates added-service exceptions (gtfs_kit
+    * feed.get_dates() spans all service dates — pre-season specials can
+    * start before any calendar range). */
+  def firstWednesday(calendar: DataFrame,
+                     calendarDates: Option[DataFrame] = None): String = {
     val fmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
-    val start = calendar.agg(min("start_date")).collect()(0).getString(0)
-    val d = java.time.LocalDate.parse(start, fmt)
+    def minOf(df: DataFrame, c: String): Option[String] =
+      df.agg(min(col(c).cast("string"))).collect()(0) match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getString(0))
+      }
+    val starts = minOf(calendar, "start_date") ++
+      calendarDates.flatMap(cd =>
+        minOf(cd.where(col("exception_type") === 1), "date"))
+    require(starts.nonEmpty, "GTFS feed has no service dates")
+    val d = java.time.LocalDate.parse(starts.min, fmt)
     val monday = d.plusDays((8 - d.getDayOfWeek.getValue) % 7)
     monday.plusDays(2).format(fmt)
   }
@@ -90,7 +102,7 @@ object Gtfs {
     val activeTrips = calendar match {
       case None => trips
       case Some(cal) =>
-        val day = date.getOrElse(firstWednesday(cal))
+        val day = date.getOrElse(firstWednesday(cal, calendarDates))
         trips.join(broadcast(activeServices(cal, calendarDates, day)),
           Seq("service_id"), "left_semi")
     }

@@ -47,7 +47,10 @@ object Triplets {
     // positives/excluded/index/picks and two driver actions (count + bucket
     // sizes) — without it the distinct re-shuffles once per branch. Unlike
     // persist(), the checkpointed blocks are freed by the ContextCleaner as
-    // soon as the result frame is unreachable. Bounded by the vocabulary.
+    // soon as the result frame is unreachable. Deliberate trade: on
+    // executor loss the truncated lineage fails the JOB (retry re-runs it)
+    // instead of recomputing — acceptable for a batch triplet generator,
+    // and it can never be silently wrong. Bounded by the vocabulary.
     val ids = regions.select(col(Tables.RegionsIndex)).distinct()
       .withColumn("a64", conv(col(Tables.RegionsIndex), 16, 10).cast("long"))
       .localCheckpoint(true)

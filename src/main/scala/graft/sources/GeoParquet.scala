@@ -73,12 +73,19 @@ object GeoParquet {
         val ok =
           if (crs.isTextual) {
             // legacy (spec <= 0.4 era) encoding: crs is a WKT/authority
-            // string; accept only a GEOGRAPHIC WGS84 text
+            // string; accept only a GEOGRAPHIC WGS84 text. Match the CRS
+            // NAME (first quoted token), not the whole body: most non-WGS84
+            // geographic WKT1 strings carry a TOWGS84[...] datum-shift
+            // clause whose substring would false-positive a contains check.
             val t = crs.asText()
-            (t.startsWith("GEOGCRS") || t.startsWith("GEOGCS") ||
-              t.startsWith("EPSG:") || t.startsWith("OGC:")) &&
-              (t.contains("WGS 84") || t.contains("WGS84") ||
-                t.contains("CRS84") || t.contains("4326"))
+            if (t.startsWith("EPSG:") || t.startsWith("OGC:"))
+              t == "EPSG:4326" || t == "OGC:CRS84"
+            else if (t.startsWith("GEOGCRS") || t.startsWith("GEOGCS")) {
+              val name = "\\[\\s*\"([^\"]+)\"".r.findFirstMatchIn(t)
+                .map(_.group(1)).getOrElse("")
+              name.contains("WGS 84") || name.contains("WGS84") ||
+                name.contains("CRS84")
+            } else false
           } else {
             val id = crs.path("id")
             val auth = id.path("authority").asText("")

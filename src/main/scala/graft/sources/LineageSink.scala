@@ -210,8 +210,12 @@ object LineageSink {
     * growing file log; re-reading it every micro-batch would make trigger
     * overhead grow with stream age). Correctness never depends on the
     * cache: a fresh driver falls through to the manifest read once per
-    * unseen id. */
+    * unseen id, and a cache hit is only honored while the sink's manifest
+    * still exists (a wiped/reset sink dir invalidates its entries). Keys
+    * are NUL-separated so dirs/ids containing spaces cannot collide. */
   private val seenJobIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def resetSeenCache(): Unit = seenJobIds.clear()
 
   /** Idempotent commit under an EXPLICIT job id — the streaming
     * exactly-once primitive: a commit whose `jobId` is already in the
@@ -227,17 +231,31 @@ object LineageSink {
     * it is the source of the mapping this sink dedupes on. */
   def writeBatch(df: DataFrame, dir: String, bucketCol: String,
                  jobId: String): DataFrame = {
+    commitBatch(df, dir, bucketCol, jobId)
+    manifest(df.sparkSession, dir)
+  }
+
+  /** [[writeBatch]] without materializing the manifest afterwards — the
+    * foreachBatch entry point: a cache-hit replay costs one existence check
+    * instead of a manifest directory listing, so trigger overhead stays
+    * O(1) in stream age. */
+  def commitBatch(df: DataFrame, dir: String, bucketCol: String,
+                  jobId: String): Unit = {
     val spark = df.sparkSession
-    val cacheKey = s"$dir $jobId"
-    if (!seenJobIds.contains(cacheKey)) {
-      recover(spark, dir)
-      val m = manifest(spark, dir)
-      val seen = m.columns.contains("job_id") &&
-        !m.where(col("job_id") === jobId).isEmpty
-      if (!seen) stageAndCommit(df, dir, bucketCol, jobId)
-      seenJobIds.add(cacheKey)
+    val cacheKey = s"$dir\u0000$jobId"
+    if (seenJobIds.contains(cacheKey)) {
+      // honor the hit only while the sink this cache entry describes still
+      // exists — a wiped dir must be re-committed, not silently skipped
+      if (fileSystem(spark, dir).exists(new Path(manifestDir(dir)))) return
+      val prefix = s"$dir\u0000"
+      seenJobIds.removeIf(_.startsWith(prefix))
     }
-    manifest(spark, dir)
+    recover(spark, dir)
+    val m = manifest(spark, dir)
+    val seen = m.columns.contains("job_id") &&
+      !m.where(col("job_id") === jobId).isEmpty
+    if (!seen) stageAndCommit(df, dir, bucketCol, jobId)
+    seenJobIds.add(cacheKey)
   }
 
   /** All committed manifest rows (empty frame if nothing committed yet). */

@@ -66,8 +66,7 @@ object Streams {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.LineageSink.writeBatch(batch, dir, bucketCol, s"batch-$batchId")
-        ()
+        graft.sources.LineageSink.commitBatch(batch, dir, bucketCol, s"batch-$batchId")
       }
 
   case class SessEvent(user_id: Long, tsMs: Long, event_id: Long)

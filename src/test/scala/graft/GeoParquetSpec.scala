@@ -55,5 +55,9 @@ class GeoParquetSpec extends AnyFunSuite {
     GeoParquet.validateGeoMeta("""{"columns":{"geometry":{"crs":"EPSG:4326"}}}""")
     intercept[IllegalArgumentException](GeoParquet.validateGeoMeta(
       """{"columns":{"geometry":{"crs":"PROJCRS[\"WGS 84 / UTM zone 33N\",...]"}}}"""))
+    // a TOWGS84 datum-shift clause inside a non-WGS84 geographic WKT must
+    // NOT pass the substring check — only the CRS NAME counts
+    intercept[IllegalArgumentException](GeoParquet.validateGeoMeta(
+      """{"columns":{"geometry":{"crs":"GEOGCS[\"Pulkovo 1942\",DATUM[\"P42\",SPHEROID[\"K\"],TOWGS84[23.92,-141.27,-80.9]]]"}}}"""))
   }
 }

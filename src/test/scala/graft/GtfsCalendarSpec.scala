@@ -42,6 +42,15 @@ class GtfsCalendarSpec extends AnyFunSuite {
 
   test("first Wednesday aligns the feed start forward to Monday + 2 days") {
     assert(Gtfs.firstWednesday(calendar) === "20240110")
+    // a pre-season added-service exception can start the feed EARLIER than
+    // any calendar range (gtfs_kit get_dates spans all service dates):
+    // 2023-12-27 is a Wednesday → next Monday 2024-01-01 → Wed 2024-01-03
+    val early = Seq(("svc_x", "20231227", 1))
+      .toDF("service_id", "date", "exception_type")
+    assert(Gtfs.firstWednesday(calendar, Some(early)) === "20240103")
+    // no service dates anywhere → clear error
+    intercept[IllegalArgumentException](
+      Gtfs.firstWednesday(calendar.limit(0), None))
   }
 
   test("active services: weekday flag + date range + add/remove exceptions") {

@@ -160,7 +160,10 @@ class StreamingSpec extends AnyFunSuite {
     // is re-planned with the same batchId and identical data; the idempotent
     // manifest check must make the replay a no-op. (A lost checkpoint with
     // NEW data arrived meanwhile is outside the foreachBatch contract —
-    // documented on Streams.lineageSink.)
+    // documented on Streams.lineageSink.) The driver-side seen-job cache is
+    // CLEARED so this run exercises the manifest dedup path — the mechanism
+    // a genuinely fresh driver relies on.
+    graft.sources.LineageSink.resetSeenCache()
     val ckpt2 = java.nio.file.Files.createTempDirectory("ckpt2").toString
     val q2 = graft.streaming.Streams.lineageSink(stream, sinkDir, "bucket", ckpt2)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -171,6 +174,17 @@ class StreamingSpec extends AnyFunSuite {
     // exactly one committed job in the manifest
     assert(graft.sources.LineageSink.manifest(spark, sinkDir)
       .select("job_id").distinct().count() === 1)
+
+    // wiped sink dir: the seen-cache must invalidate (manifest gone), so a
+    // rerun RE-commits instead of silently skipping cached batch ids
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(sinkDir)).iterator()
+      .asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    val ckpt3 = java.nio.file.Files.createTempDirectory("ckpt3").toString
+    val q3 = graft.streaming.Streams.lineageSink(stream, sinkDir, "bucket", ckpt3)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    assert(spark.read.parquet(s"$sinkDir/data").count() === expected)
   }
 
   test("streaming tile assignment produces tiles per window") {

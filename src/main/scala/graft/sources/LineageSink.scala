@@ -189,7 +189,7 @@ object LineageSink {
       Row(b, n, keys, jobId, now)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), manifestSchema)
-      .write.mode(SaveMode.Append).parquet(manifestDir(dir))
+      .write.mode(SaveMode.Append).parquet(resolvedManifestDir(spark, dir))
     fs.delete(pend, false)
     fs.delete(staging, true)
   }
@@ -258,10 +258,87 @@ object LineageSink {
     seenJobIds.add(cacheKey)
   }
 
+  // --- manifest versioning: the commit log is append-only, so after many
+  // commits it is a pile of small parquet files whose LISTING cost grows
+  // with table age. compactManifest() rewrites it into one file under a
+  // version dir (`manifest/v<N>/`) and swaps the `manifest/CURRENT` pointer
+  // (write tmp + rename — Iceberg's version-hint pattern). Readers resolve:
+  // CURRENT pointer → its version dir; no pointer but complete version
+  // dirs → the highest (covers a crash between writing the new version and
+  // the pointer swap; versions are supersets under the single-writer rule);
+  // otherwise the legacy flat layout. Commits append into the resolved dir,
+  // so the protocol composes with every write/resume/batch path. ---
+
+  private def currentPath(dir: String) = new Path(s"${manifestDir(dir)}/CURRENT")
+
+  private def versionDirs(fs: FileSystem, dir: String): Seq[(Int, Path)] = {
+    val root = new Path(manifestDir(dir))
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(s => (s.getPath.getName.drop(1).toInt, s.getPath))
+  }
+
+  /** The directory manifest rows live in right now (version-aware). */
+  private def resolvedManifestDir(spark: SparkSession, dir: String): String = {
+    val fs = fileSystem(spark, dir)
+    val cur = currentPath(dir)
+    if (fs.exists(cur)) {
+      val in = fs.open(cur)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      s"${manifestDir(dir)}/$v"
+    } else {
+      val complete = versionDirs(fs, dir)
+        .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+      if (complete.nonEmpty) complete.maxBy(_._1)._2.toString
+      else {
+        // crashed mid-compaction: an INCOMPLETE version dir nested under
+        // the flat layout would pollute a recursive flat read — remove it
+        // (metadata-only, single-writer invariant)
+        versionDirs(fs, dir).foreach { case (_, p) => fs.delete(p, true) }
+        manifestDir(dir)
+      }
+    }
+  }
+
+  /** Rewrite the manifest into ONE file and retire the old log. Explicit
+    * maintenance (like Iceberg's rewrite_manifests) — run it periodically
+    * on long-lived sinks; cost is one read+write of the manifest rows,
+    * independent of the data tree. Safe against a crash at any step:
+    * readers follow the pointer, or the highest complete version when the
+    * crash hit between version write and pointer swap. */
+  def compactManifest(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fileSystem(spark, dir)
+    val m = manifest(spark, dir)
+    if (m.columns.isEmpty) return m
+    val nextV = (versionDirs(fs, dir).map(_._1) :+ 0).max + 1
+    val target = s"${manifestDir(dir)}/v$nextV"
+    m.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(target)
+    // pointer swap: tmp + rename (rename onto an existing file is not
+    // portable — delete first; the max-complete-version fallback covers
+    // the tiny window with no pointer)
+    val tmp = new Path(s"${manifestDir(dir)}/_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v$nextV".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(currentPath(dir))) fs.delete(currentPath(dir), false)
+    require(fs.rename(tmp, currentPath(dir)), "manifest pointer swap failed")
+    // retire everything that is not the new version or the pointer
+    fs.listStatus(new Path(manifestDir(dir))).foreach { s =>
+      val n = s.getPath.getName
+      if (n != s"v$nextV" && n != "CURRENT") fs.delete(s.getPath, true)
+    }
+    manifest(spark, dir)
+  }
+
   /** All committed manifest rows (empty frame if nothing committed yet). */
   def manifest(spark: SparkSession, dir: String): DataFrame = {
-    val p = new Path(manifestDir(dir))
-    if (fileSystem(spark, dir).exists(p)) spark.read.parquet(manifestDir(dir))
+    val mdir = resolvedManifestDir(spark, dir)
+    val fs = fileSystem(spark, dir)
+    val p = new Path(mdir)
+    val hasData = fs.exists(p) && listFilesUnder(fs, p).nonEmpty
+    if (hasData) spark.read.parquet(mdir)
     else spark.emptyDataFrame
   }
 

@@ -39,7 +39,10 @@ object Main {
 
     // grouped commits: a crash loses at most one bucket-group; the rerun
     // anti-joins the manifest and redoes only the missing groups
-    val manifest = LineageSink.writeGrouped(assignments, outDir, "bucket")
+    LineageSink.writeGrouped(assignments, outDir, "bucket")
+    // fold the grouped commit log into one file (keeps reruns' manifest
+    // reads O(1) in job count)
+    val manifest = LineageSink.compactManifest(spark, outDir)
     val rows = manifest.agg(sum("rows")).collect()(0).getLong(0)
     val buckets = manifest.count()
     println(s"""{"assignments":$rows,"buckets":$buckets,"out":"$outDir"}""")

@@ -76,6 +76,12 @@ object CatalystHelpers {
     ArrayData.toArrayData(Array(i, j))
   }
 
+  /** Null instead of throwing on pentagon distortion — for operators that
+    * DROP affected anchors (hexTensor) rather than abort the job. */
+  def h3LocalIjTry(origin: Long, cell: Long): ArrayData =
+    try h3LocalIj(origin, cell)
+    catch { case _: IllegalArgumentException => null }
+
   def h3LatLng(id: Long): ArrayData = {
     val (lat, lng) = graft.core.H3.cellToLatLng(id)
     ArrayData.toArrayData(Array(lat, lng))

@@ -63,6 +63,7 @@ object Gf {
     "h3_parent" -> (e => H3ParentExpr(e(0), e(1))),
     "h3_children" -> (e => H3ChildrenExpr(e(0), e(1))),
     "h3_local_ij" -> (e => H3LocalIjExpr(e(0), e(1))),
+    "h3_local_ij_try" -> (e => H3LocalIjTryExpr(e(0), e(1))),
     "vec_cosine" -> (e => VecCosine(e(0), e(1))),
     "simhash64" -> (e => SimHash64(e(0))),
     "minhash_sig" -> (e => MinhashSig(e(0), e(1))),
@@ -156,6 +157,8 @@ object Gf {
   def h3Children(id: Column, res: Int): Column = call_function("h3_children", id, lit(res))
   def h3LocalIj(origin: Column, cell: Column): Column =
     call_function("h3_local_ij", origin, cell)
+  def h3LocalIjTry(origin: Column, cell: Column): Column =
+    call_function("h3_local_ij_try", origin, cell)
 
   def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)

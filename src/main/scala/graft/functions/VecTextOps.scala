@@ -85,16 +85,46 @@ object VecTextOps {
     * deterministic hash-derived plane components. Identical directions get
     * identical signatures (LSH bucket key for cosine near-dup / IVF-style
     * ANN candidate generation). */
+  /** Memoized hyperplane components per (seed, planes, dim): the matrix
+    * depends only on the configuration, so per-row recomputation of
+    * planes×dim hashes (the dominant cost at 10⁹-row scale) is wasted —
+    * one multiply-add kernel per row instead. A handful of configurations
+    * exist per job; the cache is effectively constant-sized. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  private def planeMatrix(seed: Long, planes: Int, n: Int): Array[Double] =
+    planeCache.computeIfAbsent((seed, planes, n), { key =>
+      val (s, p, dim) = key
+      val m = new Array[Double](p * dim)
+      var j = 0
+      while (j < p) {
+        // golden-ratio mix so plane keys NEVER alias across table seeds:
+        // round-2 used (seed + j), which made table t+1 reuse table t's
+        // planes shifted by one — correlated tables collapse multi-table
+        // recall (review finding, round 3)
+        val planeKey = s * 0x9E3779B97F4A7C15L + j
+        var i = 0
+        while (i < dim) {
+          m(j * dim + i) = fnv64(planeKey, i.toLong).toDouble / Long.MaxValue.toDouble
+          i += 1
+        }
+        j += 1
+      }
+      m
+    })
+
   def hyperplaneSig(v: ArrayData, planes: Int, seed: Long): Long = {
     val n = v.numElements()
+    val m = planeMatrix(seed, planes, n)
     var out = 0L
     var j = 0
     while (j < planes) {
       var dot = 0.0
       var i = 0
+      val base = j * n
       while (i < n) {
-        val g = (fnv64(seed + j, i.toLong).toDouble / Long.MaxValue.toDouble)
-        dot += g * v.getFloat(i)
+        dot += m(base + i) * v.getFloat(i)
         i += 1
       }
       if (dot > 0) out |= (1L << j)

@@ -48,12 +48,16 @@ final class TopKBuf(val k: Int) extends Serializable {
 case class TopKAgg(
     score: Expression, id: Expression, kExpr: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuf] {
+  extends TypedImperativeAggregate[TopKBuf] with ImplicitCastInputTypes {
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
 
   override def prettyName: String = "topk_agg"
   override def children: Seq[Expression] = Seq(score, id, kExpr)
+  // analysis-time coercion: an int id or float score casts implicitly
+  // instead of a mid-shuffle ClassCastException on executors
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, LongType, IntegerType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(new StructType()
     .add("score", DoubleType, nullable = false)

@@ -117,6 +117,18 @@ case class H3ChildrenExpr(left: Expression, right: Expression) extends BinaryExp
 }
 
 /** h3_local_ij(origin, cell) → array<int>[i, j] (N7; errors on pentagons). */
+/** h3_local_ij_try — like h3_local_ij but null on pentagon distortion, so
+  * planetary cell sets DROP affected anchors instead of failing the job. */
+case class H3LocalIjTryExpr(left: Expression, right: Expression)
+    extends BinaryExpression with codegen.CodegenFallback {
+  override def prettyName: String = "h3_local_ij_try"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(o: Any, c: Any): Any =
+    CatalystHelpers.h3LocalIjTry(o.asInstanceOf[Long], c.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class H3LocalIjExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "h3_local_ij"
   override def nullIntolerant: Boolean = true

@@ -47,6 +47,10 @@ class ContextualCountEmbedder(
   def transform(embeddings: DataFrame): DataFrame = {
     val featureCols = embeddings.columns.toSeq.filterNot(_ == RegionsIndex)
     require(featureCols.nonEmpty, "embeddings have no feature columns")
+    require(k >= 0, s"neighbourhood distance must be >= 0, got $k")
+    // k = 0: no neighbourhood — the base embeddings ARE the result
+    // (reference semantics for neighbourhood_distance 0)
+    if (k == 0) return embeddings.withColumnRenamed(RegionsIndex, "region_id")
 
     // ONE closure⋈embeddings join + ONE aggregate with per-distance
     // conditional columns; regions with no distance-d neighbours stay null
@@ -56,7 +60,11 @@ class ContextualCountEmbedder(
       .select(col("region_id"), col("neighbour_id"), col("distance"))
       .join(embeddings.select(
         col(RegionsIndex).as("neighbour_id") +:
-          featureCols.map(c => col(c).as(s"__n_$c")): _*),
+          // NaN feature values → null so avg/median/sum IGNORE them like
+          // the reference's np.nan-aware aggregations (a NaN would
+          // otherwise poison the whole group)
+          featureCols.map(c => when(col(c).cast("double").isNaN, lit(null))
+            .otherwise(col(c)).as(s"__n_$c")): _*),
         Seq("neighbour_id"))
     val aggCols = for (d <- 1 to k; c <- featureCols)
       yield aggFn(when(col("distance") === d, col(s"__n_$c"))).as(s"agg_${d}_$c")

@@ -53,9 +53,15 @@ class CountEmbedder(
         val pairs: Seq[(String, String)] =
           if (expectedOutputFeatures.nonEmpty) {
             // Derive (column, value) pairs from the expected names — no data
-            // scan needed when the schema is declared up front.
+            // scan needed when the schema is declared up front. When one
+            // payload column is a '_'-prefix of another (OSM's 'building'
+            // vs 'building_part'), both would claim the name and the later
+            // one-hot condition would silently overwrite the first in
+            // project's map — take the LONGEST matching column
+            // (deterministic, matches the most specific key).
             expectedOutputFeatures.flatMap { name =>
               payloadCols.filter(c => name.startsWith(c + "_"))
+                .sortBy(-_.length).headOption
                 .map(c => c -> name.stripPrefix(c + "_"))
             }
           } else {
@@ -79,6 +85,10 @@ class CountEmbedder(
         }
         project(cols)
       }
+
+    // an empty one-hot domain (no features / all-null payload, no expected
+    // schema) has nothing to count: the region frame alone is the answer
+    if (outputCols.isEmpty) return regions.select(RegionsIndex)
 
     val encoded = features.select(
       col(FeaturesIndex) +: outputCols.map { case (n, c) => coalesce(c, lit(0)).as(n) }: _*)

@@ -49,6 +49,22 @@ object Dedup {
       col(idCol).as("id"),
       TextOps.shingles(col(textCol), shingleK).as("sh"))
 
+  /** Drop blocking buckets larger than `maxBucketSize` BEFORE the
+    * self-join: a bucket of n identical-signature rows yields n²/2
+    * candidate pairs, so one boilerplate/empty-document cluster of 10⁶
+    * rows would materialize 5·10¹¹ join rows and sink the stage. Such
+    * clusters are (near-)exact duplicates the exact-dedup pass
+    * ([[Dedup.exact]]) collapses upstream — the documented pipeline order.
+    * The cap is explicit (not silent): it is a parameter on every pair
+    * generator, defaulted far above any genuine near-dup neighbourhood. */
+  private[operators] def capBuckets(banded: DataFrame, keys: Seq[String],
+                                    maxBucketSize: Int): DataFrame = {
+    if (maxBucketSize <= 0) return banded
+    val oversized = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz")).where(col("__bsz") > maxBucketSize)
+    banded.join(oversized.select(keys.map(col): _*), keys, "left_anti")
+  }
+
   /** Join shingle arrays back to (id_a, id_b) candidate pairs and verify
     * exact Jaccard ≥ threshold. The two id-keyed joins shuffle each shingle
     * array at most once — candidate pairs are tiny next to the corpus. */
@@ -71,7 +87,8 @@ object Dedup {
     * j≈0.5 and is ≈1 above j≈0.8. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7,
+                   maxBucketSize: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sh = shingled(df, idCol, textCol, shingleK)
@@ -82,8 +99,9 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val capped = capBuckets(banded, Seq("band", "band_hash"), maxBucketSize)
+    val a = capped.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
@@ -112,8 +130,10 @@ object Dedup {
     * long — it rides the band shuffle (8 bytes ×4, cheaper than a join
     * back). Recall is exact by pigeonhole for maxHamming ≤ 3. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val banded = simhashBanded(df, idCol, textCol)
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = 100000): DataFrame = {
+    val banded = capBuckets(simhashBanded(df, idCol, textCol),
+      Seq("band", "chunk"), maxBucketSize)
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "chunk"))
@@ -131,8 +151,10 @@ object Dedup {
     * near-dups keep most token votes intact. */
   def simhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 3, threshold: Double = 0.9,
-                          bands: Int = 8): DataFrame = {
-    val banded = simhashBanded(df, idCol, textCol, bands)
+                          bands: Int = 8,
+                          maxBucketSize: Int = 100000): DataFrame = {
+    val banded = capBuckets(simhashBanded(df, idCol, textCol, bands),
+      Seq("band", "chunk"), maxBucketSize)
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "chunk"))

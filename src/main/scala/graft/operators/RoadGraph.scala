@@ -16,21 +16,27 @@ import graft.functions.Gf
 object RoadGraph {
 
   /** (nodes, edges): nodes (node_id, lng, lat, geom);
-    * edges (edge_id, u, v, length_deg, geom). */
+    * edges (edge_id, u, v, length_deg, geom).
+    *
+    * Node identity is a 128-bit content hash of the endpoint WKB (md5 hex):
+    * at planetary endpoint counts (~10⁹) a 64-bit id has ~n²/2⁶⁵ expected
+    * birthday collisions — a couple of silently merged intersections — while
+    * 128 bits push that below 10⁻²⁰. */
   def fromWays(ways: DataFrame, idCol: String = Tables.FeaturesIndex)
   : (DataFrame, DataFrame) = {
     val g = col(Tables.Geometry)
+    def nodeId(p: org.apache.spark.sql.Column) = md5(p)
     val withEnds = ways.select(
       col(idCol).as("edge_id"), g,
       Gf.stStartPoint(g).as("sp"), Gf.stEndPoint(g).as("ep"))
     val edges = withEnds.select(
       col("edge_id"),
-      xxhash64(col("sp")).as("u"),
-      xxhash64(col("ep")).as("v"),
+      nodeId(col("sp")).as("u"),
+      nodeId(col("ep")).as("v"),
       Gf.stLength(g).as("length_deg"),
       g)
-    val nodes = withEnds.select(xxhash64(col("sp")).as("node_id"), col("sp").as("p"))
-      .unionAll(withEnds.select(xxhash64(col("ep")), col("ep")))
+    val nodes = withEnds.select(nodeId(col("sp")).as("node_id"), col("sp").as("p"))
+      .unionAll(withEnds.select(nodeId(col("ep")), col("ep")))
       .dropDuplicates("node_id")
       .select(col("node_id"),
         Gf.stCentroidX(col("p")).as("lng"), Gf.stCentroidY(col("p")).as("lat"),

@@ -92,15 +92,19 @@ object Similarity {
     * back once per unique candidate pair (not ×tables). */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          planes: Int = 16, tables: Int = 4,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         maxBucketSize: Int = 100000): DataFrame = {
     val sigs = (0 until tables).map(t =>
       (t, (c: org.apache.spark.sql.Column) => Gf.hyperplaneSig(c, planes, 2000L + t)))
     val ids = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val banded = ids
+    // oversized buckets (zero/duplicate vectors all share a signature)
+    // would square in the self-join — same explicit cap as Dedup
+    val banded = Dedup.capBuckets(ids
       .select(col("id"),
         explode(array(sigs.map { case (t, f) =>
           struct(lit(t).as("t"), f(col("v")).as("sig")) }: _*)).as("b"))
-      .select(col("id"), col("b.t").as("t"), col("b.sig").as("sig"))
+      .select(col("id"), col("b.t").as("t"), col("b.sig").as("sig")),
+      Seq("t", "sig"), maxBucketSize)
     val a = banded.select(col("t"), col("sig"), col("id").as("id_a"))
     val b = banded.select(col("t"), col("sig"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("t", "sig"))

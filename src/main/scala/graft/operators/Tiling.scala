@@ -71,8 +71,13 @@ object Tiling {
       col(Tables.RegionsIndex).as("anchor"),
       explode(Gf.h3GridDisk(Gf.h3FromStr(col(Tables.RegionsIndex)), k)).as("n"))
       .select(col("anchor"), Gf.h3Str(col("n")).as("neighbour"))
-      .withColumn("ij", Gf.h3LocalIj(
+      // try-variant: a pentagon inside some anchor's disk nulls that pair,
+      // leaving the anchor's ring incomplete → the completeness filter
+      // below drops it (instead of the whole job aborting on the 12
+      // pentagon base cells a planetary set always contains)
+      .withColumn("ij", Gf.h3LocalIjTry(
         Gf.h3FromStr(col("anchor")), Gf.h3FromStr(col("neighbour"))))
+      .where(col("ij").isNotNull)
       .join(values.select(col(Tables.RegionsIndex).as("neighbour"),
         col(valueCol).cast("double").as("v")), Seq("neighbour"))
     val side = 2 * k + 2

@@ -241,14 +241,14 @@ class RoadGraphSpec extends AnyFunSuite {
     assert(nodes.count() === 4)
     assert(edges.count() === 3)
     val e = edges.collect().map(r =>
-      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
     assert(e.forall(_._4 === 1.0))
     // the shared endpoint (1,0) gets ONE id: w1.v == w2.u == w3.u
     val byId = e.map(x => x._1 -> x).toMap
     assert(byId("w1")._3 === byId("w2")._2)
     assert(byId("w2")._2 === byId("w3")._2)
     // all node ids in edges exist in the node frame
-    val nodeIds = nodes.select("node_id").as[Long].collect().toSet
+    val nodeIds = nodes.select("node_id").as[String].collect().toSet
     assert(e.flatMap(x => Seq(x._2, x._3)).toSet === nodeIds)
   }
 }

@@ -144,14 +144,24 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** SimHash-blocked exact-Jaccard near-dup pairs: candidates from the
-    * 4×16-bit simhash chunk blocking, verified with exact shingle Jaccard.
-    * Same output contract as [[minhashPairs]] — a cheaper blocking (one
-    * 64-bit hash instead of a 64-long signature) for corpora where
-    * near-dups keep most token votes intact. */
+  /** SimHash-blocked exact-Jaccard near-dup pairs: candidates from
+    * 4×16-bit simhash chunk blocking (the classic web-dedup layout),
+    * verified with exact shingle Jaccard. Same output contract as
+    * [[minhashPairs]] — a cheaper blocking (one 64-bit hash instead of a
+    * 64-long signature) for corpora where near-dups keep most token votes
+    * intact.
+    *
+    * Band choice is a recall/scale dial: 16-bit chunks guarantee recall at
+    * hamming ≤ 3 and keep buckets sparse (2¹⁶ values per band). Finer
+    * chunks (bands = 8 → 8-bit) push the pigeonhole guarantee to hamming
+    * ≤ 7 but shrink the key space to 256 values, so bucket occupancy — and
+    * with it candidate-pair count — grows QUADRATICALLY with corpus size
+    * (measured: 4× the corpus, ~5× the wall time, DedupScaleDrive round 3).
+    * Use minhashPairs when organic recall beyond hamming 3 matters at
+    * scale. */
   def simhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 3, threshold: Double = 0.9,
-                          bands: Int = 8,
+                          bands: Int = 4,
                           maxBucketSize: Int = 100000): DataFrame = {
     val banded = capBuckets(simhashBanded(df, idCol, textCol, bands),
       Seq("band", "chunk"), maxBucketSize)

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-suite volume probe (not a test): runs MinHash near-dup and the
+  * cosine near-dup blocking on an M×-replicated documents corpus where each
+  * replica is a DISTINCT caesar-translated copy (cross-replica Jaccard is
+  * low), so the true answer — and ideally the runtime — grows LINEARLY with
+  * M. A super-linear stage (all-pairs candidate generation, payload-heavy
+  * band shuffles, degenerate buckets) would show as time growing faster
+  * than volume.
+  *
+  *   sbt "Test/runMain graft.DedupScaleDrive [M] [cpus]"
+  */
+object DedupScaleDrive {
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** M distinct corpora: replica r translates letters by a rotation of r. */
+  def replicate(spark: SparkSession, dir: String, m: Int): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    (0 until m).map { r =>
+      val rot = Alpha.drop(r % 26) + Alpha.take(r % 26)
+      docs.select(
+        (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+        translate(lower(col("text")), Alpha, rot).as("text"))
+    }.reduce(_ unionAll _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val m = if (args.length > 0) args(0).toInt else 4
+    val cpus = if (args.length > 1) args(1).toInt else 32
+    val spark = GraftSession.local(cpus, "graft-dedup-scale")
+    val dir = "/root/testdata/sf0.1"
+
+    def run(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      val base = spark.read.parquet(s"$dir/documents.parquet").count()
+      println(f"[dedup-scale] $name%-18s M=$m docs=${base * m} pairs=$out " +
+        f"sec=$sec%8.2f docs/s=${base * m / sec}%10.0f")
+    }
+
+    // warm the session (JIT, parquet footer, codegen) outside the timings
+    graft.operators.Dedup.minhashPairs(
+      replicate(spark, dir, 1).limit(500), "doc_id", "text").count()
+
+    val corpus = replicate(spark, dir, m)
+    run("minhash_neardup") {
+      graft.operators.Dedup.minhashPairs(corpus, "doc_id", "text",
+        threshold = 0.9).count()
+    }
+    run("simhash_jaccard") {
+      graft.operators.Dedup.simhashJaccardPairs(corpus, "doc_id", "text",
+        threshold = 0.9).count()
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // sign patterns from the extended-Hamming(8,4) code: any two replicas
+    // differ in ≥4 of every 8 dims → ≥half the dims flip relatively →
+    // cross-replica cosine ≤ 0, keeping the true answer linear in M
+    val code = Seq(0x00, 0x0F, 0x33, 0x3C, 0x55, 0x5A, 0x66, 0x69,
+      0x96, 0x99, 0xA5, 0xAA, 0xC3, 0xCC, 0xF0, 0xFF)
+    val vecs = (0 until m).map { r =>
+      val cw = code(r % 16)
+      emb.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(pmod(floor(lit(cw.toDouble) /
+            pow(lit(2.0), (i % 8).cast("double"))).cast("int"), lit(2)) === 1, -x)
+            .otherwise(x)).as("embedding"))
+    }.reduce(_ unionAll _)
+    run("cosine_neardup") {
+      graft.operators.Similarity.cosineNearDupPairs(vecs, 0.95).count()
+    }
+    spark.stop()
+  }
+}

@@ -93,7 +93,10 @@ object VecTextOps {
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
 
-  private def planeMatrix(seed: Long, planes: Int, n: Int): Array[Double] =
+  private def planeMatrix(seed: Long, planes: Int, n: Int): Array[Double] = {
+    // ragged-dimension corpora would otherwise retain one matrix per
+    // distinct (seed, dim) for the JVM lifetime — bound and reset
+    if (planeCache.size > 256) planeCache.clear()
     planeCache.computeIfAbsent((seed, planes, n), { key =>
       val (s, p, dim) = key
       val m = new Array[Double](p * dim)
@@ -113,6 +116,7 @@ object VecTextOps {
       }
       m
     })
+  }
 
   def hyperplaneSig(v: ArrayData, planes: Int, seed: Long): Long = {
     val n = v.numElements()

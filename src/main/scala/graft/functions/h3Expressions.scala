@@ -123,6 +123,10 @@ case class H3LocalIjTryExpr(left: Expression, right: Expression)
     extends BinaryExpression with codegen.CodegenFallback {
   override def prettyName: String = "h3_local_ij_try"
   override def nullIntolerant: Boolean = true
+  // CAN return null on non-null inputs (pentagon) — without this override
+  // BinaryExpression derives nullable from the children and the optimizer
+  // folds downstream IsNotNull guards away, silently keeping bad rows
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(o: Any, c: Any): Any =
     CatalystHelpers.h3LocalIjTry(o.asInstanceOf[Long], c.asInstanceOf[Long])

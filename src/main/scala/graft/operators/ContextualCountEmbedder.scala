@@ -49,8 +49,17 @@ class ContextualCountEmbedder(
     require(featureCols.nonEmpty, "embeddings have no feature columns")
     require(k >= 0, s"neighbourhood distance must be >= 0, got $k")
     // k = 0: no neighbourhood — the base embeddings ARE the result
-    // (reference semantics for neighbourhood_distance 0)
-    if (k == 0) return embeddings.withColumnRenamed(RegionsIndex, "region_id")
+    // (reference semantics for neighbourhood_distance 0), shaped like the
+    // k >= 1 output: squashed keeps base names, concatenated suffixes the
+    // distance-0 block, both as double
+    if (k == 0) {
+      val base = embeddings.withColumnRenamed(RegionsIndex, "region_id")
+      val shaped = featureCols.map { c =>
+        val name = if (concatenate) s"${c}_0" else c
+        col(c).cast("double").as(name)
+      }
+      return base.select(col("region_id") +: shaped: _*)
+    }
 
     // ONE closure⋈embeddings join + ONE aggregate with per-distance
     // conditional columns; regions with no distance-d neighbours stay null

@@ -51,18 +51,23 @@ object Dedup {
 
   /** Drop blocking buckets larger than `maxBucketSize` BEFORE the
     * self-join: a bucket of n identical-signature rows yields n²/2
-    * candidate pairs, so one boilerplate/empty-document cluster of 10⁶
-    * rows would materialize 5·10¹¹ join rows and sink the stage. Such
-    * clusters are (near-)exact duplicates the exact-dedup pass
+    * candidate pairs, so one boilerplate/empty-document cluster of 10⁵
+    * rows would already materialize 5·10⁹ join rows and sink the stage.
+    * Such clusters are (near-)exact duplicates the exact-dedup pass
     * ([[Dedup.exact]]) collapses upstream — the documented pipeline order.
-    * The cap is explicit (not silent): it is a parameter on every pair
-    * generator, defaulted far above any genuine near-dup neighbourhood. */
+    * The cap is explicit (not silent): a parameter on every pair
+    * generator, defaulted far above any genuine near-dup neighbourhood
+    * (10⁴ rows ≈ 5·10⁷ pairs in ONE bucket is already pathological).
+    * Implemented as a count window over the bucket keys — ONE evaluation
+    * of the (expensive, signature-bearing) banded input and one exchange,
+    * not a build/probe pair that would run the signature stage twice. */
   private[operators] def capBuckets(banded: DataFrame, keys: Seq[String],
                                     maxBucketSize: Int): DataFrame = {
     if (maxBucketSize <= 0) return banded
-    val oversized = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__bsz")).where(col("__bsz") > maxBucketSize)
-    banded.join(oversized.select(keys.map(col): _*), keys, "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("__bsz", count(lit(1)).over(w))
+      .where(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
   }
 
   /** Join shingle arrays back to (id_a, id_b) candidate pairs and verify
@@ -88,7 +93,7 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7,
-                   maxBucketSize: Int = 100000): DataFrame = {
+                   maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sh = shingled(df, idCol, textCol, shingleK)
@@ -131,7 +136,7 @@ object Dedup {
     * back). Recall is exact by pigeonhole for maxHamming ≤ 3. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   maxBucketSize: Int = 100000): DataFrame = {
+                   maxBucketSize: Int = 10000): DataFrame = {
     val banded = capBuckets(simhashBanded(df, idCol, textCol),
       Seq("band", "chunk"), maxBucketSize)
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
@@ -162,7 +167,7 @@ object Dedup {
   def simhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 3, threshold: Double = 0.9,
                           bands: Int = 4,
-                          maxBucketSize: Int = 100000): DataFrame = {
+                          maxBucketSize: Int = 10000): DataFrame = {
     val banded = capBuckets(simhashBanded(df, idCol, textCol, bands),
       Seq("band", "chunk"), maxBucketSize)
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"))

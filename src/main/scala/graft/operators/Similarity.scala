@@ -93,7 +93,7 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          planes: Int = 16, tables: Int = 4,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         maxBucketSize: Int = 100000): DataFrame = {
+                         maxBucketSize: Int = 10000): DataFrame = {
     val sigs = (0 until tables).map(t =>
       (t, (c: org.apache.spark.sql.Column) => Gf.hyperplaneSig(c, planes, 2000L + t)))
     val ids = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -83,8 +83,12 @@ object GeoParquet {
             else if (t.startsWith("GEOGCRS") || t.startsWith("GEOGCS")) {
               val name = "\\[\\s*\"([^\"]+)\"".r.findFirstMatchIn(t)
                 .map(_.group(1)).getOrElse("")
+              // name says WGS84, OR an explicit EPSG:4326 authority id —
+              // GDAL writes GEOGCS["unknown",...,AUTHORITY["EPSG","4326"]]
               name.contains("WGS 84") || name.contains("WGS84") ||
-                name.contains("CRS84")
+                name.contains("CRS84") ||
+                "(?:AUTHORITY|ID)\\[\"EPSG\",\\s*\"?4326\"?\\]".r
+                  .findFirstIn(t).isDefined
             } else false
           } else {
             val id = crs.path("id")

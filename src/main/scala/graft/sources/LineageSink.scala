@@ -126,6 +126,11 @@ object LineageSink {
     val sroot = new Path(stagingRoot(dir))
     if (fs.exists(sroot))
       fs.listStatus(sroot).foreach(s => fs.delete(s.getPath, true))
+    // retire INCOMPLETE manifest version dirs from a crashed compaction
+    // (cleanup lives on the write path only — readers never delete)
+    versionDirs(fs, dir)
+      .filterNot { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+      .foreach { case (_, p) => fs.delete(p, true) }
   }
 
   private val manifestSchema = StructType(Seq(
@@ -292,13 +297,9 @@ object LineageSink {
       val complete = versionDirs(fs, dir)
         .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
       if (complete.nonEmpty) complete.maxBy(_._1)._2.toString
-      else {
-        // crashed mid-compaction: an INCOMPLETE version dir nested under
-        // the flat layout would pollute a recursive flat read — remove it
-        // (metadata-only, single-writer invariant)
-        versionDirs(fs, dir).foreach { case (_, p) => fs.delete(p, true) }
-        manifestDir(dir)
-      }
+      else manifestDir(dir) // flat legacy; manifest() reads TOP-LEVEL files
+        // only, so an incomplete version dir from a crashed compaction
+        // cannot pollute the read (recover() retires it on the write path)
     }
   }
 
@@ -332,14 +333,19 @@ object LineageSink {
     manifest(spark, dir)
   }
 
-  /** All committed manifest rows (empty frame if nothing committed yet). */
+  /** All committed manifest rows (empty frame if nothing committed yet).
+    * Reads explicit top-level files so a version dir mid-compaction never
+    * leaks into a flat read — and the read path never deletes anything. */
   def manifest(spark: SparkSession, dir: String): DataFrame = {
     val mdir = resolvedManifestDir(spark, dir)
     val fs = fileSystem(spark, dir)
     val p = new Path(mdir)
-    val hasData = fs.exists(p) && listFilesUnder(fs, p).nonEmpty
-    if (hasData) spark.read.parquet(mdir)
-    else spark.emptyDataFrame
+    if (!fs.exists(p)) return spark.emptyDataFrame
+    val files = fs.listStatus(p).filter(_.isFile).map(_.getPath)
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(_.toString).toIndexedSeq: _*)
   }
 
   /** Buckets already committed (partition-directory string values). */

@@ -30,6 +30,9 @@ object DedupScaleDrive {
 
   def main(args: Array[String]): Unit = {
     val m = if (args.length > 0) args(0).toInt else 4
+    // caesar rotations repeat past 26 and sign codewords past 16 — repeats
+    // would make the true answer quadratic and invalidate the probe
+    require(m >= 1 && m <= 16, s"M must be in [1, 16], got $m")
     val cpus = if (args.length > 1) args(1).toInt else 32
     val spark = GraftSession.local(cpus, "graft-dedup-scale")
     val dir = "/root/testdata/sf0.1"

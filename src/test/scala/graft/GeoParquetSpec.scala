@@ -59,5 +59,8 @@ class GeoParquetSpec extends AnyFunSuite {
     // NOT pass the substring check — only the CRS NAME counts
     intercept[IllegalArgumentException](GeoParquet.validateGeoMeta(
       """{"columns":{"geometry":{"crs":"GEOGCS[\"Pulkovo 1942\",DATUM[\"P42\",SPHEROID[\"K\"],TOWGS84[23.92,-141.27,-80.9]]]"}}}"""))
+    // GDAL names WGS84 feeds "unknown" but stamps the EPSG authority id
+    GeoParquet.validateGeoMeta(
+      """{"columns":{"geometry":{"crs":"GEOGCS[\"unknown\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\"]],AUTHORITY[\"EPSG\",\"4326\"]]"}}}""")
   }
 }

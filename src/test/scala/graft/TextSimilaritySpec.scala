@@ -32,6 +32,26 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.9))
   }
 
+  test("degenerate buckets are capped: a boilerplate cluster cannot square the join") {
+    import spark.implicits._
+    // 200 identical boilerplate docs (one giant bucket in every band) plus
+    // a planted near-dup pair of distinct text
+    val boiler = (0 until 200).map(i =>
+      (i.toLong, "lorem ipsum dolor sit amet the quick brown fox jumps again"))
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val planted = Seq((1000L, base), (1001L, base + " extra tail"))
+    val corpus = (boiler ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      threshold = 0.9, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 200-doc cluster (19,900 identical pairs) is excluded by the cap —
+    // exact dedup is the documented upstream collapse for it...
+    assert(!pairs.exists { case (a, b) => a < 200 && b < 200 })
+    // ...while genuine near-dups in normal-sized buckets are still found
+    assert(pairs.contains((1000L, 1001L)))
+  }
+
   test("simhash pairs include all exact duplicates and only verified-near pairs") {
     val dups = docs.where(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 500000L).as("doc_id"), col("text"))

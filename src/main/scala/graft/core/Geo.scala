@@ -48,9 +48,14 @@ object Geo {
   /** Explode multi-geometries into simple parts (reference:
     * srai/regionalizers/_base.py:26-36 explode; srai/geometry.py:35-46
     * flatten_geometry — recursive). */
-  def dump(g: Geometry): Seq[Geometry] =
-    if (g.getNumGeometries <= 1) Seq(g)
-    else (0 until g.getNumGeometries).flatMap(i => dump(g.getGeometryN(i)))
+  def dump(g: Geometry): Seq[Geometry] = g match {
+    // unwrap by TYPE, not count: a single-part MultiPolygon /
+    // GeometryCollection must still yield its inner simple part like the
+    // reference's recursive flatten (review finding, round 3)
+    case gc: GeometryCollection =>
+      (0 until gc.getNumGeometries).flatMap(i => dump(gc.getGeometryN(i)))
+    case simple => Seq(simple)
+  }
 
   /** Drop polygon interior rings (reference: srai/geometry.py:50-64). */
   def removeInteriors(g: Geometry): Geometry = g match {
@@ -99,8 +104,11 @@ object Geo {
           val x = cs.getX(i); val y = cs.getY(i)
           val rho = math.sqrt(x * x + y * y) / R
           val a = math.atan2(x, y)
-          val lat = math.asin(math.sin(lat0) * math.cos(rho) +
-            math.cos(lat0) * math.sin(rho) * math.cos(a))
+          // clamp like dist(): near a pole the two-term sum can round past
+          // 1 and asin would return NaN
+          val lat = math.asin(math.max(-1.0, math.min(1.0,
+            math.sin(lat0) * math.cos(rho) +
+              math.cos(lat0) * math.sin(rho) * math.cos(a))))
           val lng = lng0 + math.atan2(
             math.sin(a) * math.sin(rho) * math.cos(lat0),
             math.cos(rho) - math.sin(lat0) * math.sin(lat))

@@ -879,6 +879,14 @@ object H3 {
       val p = geoToVec3(lat, lng)
       val sq = sqDist(faceCenterPoint(face), p)
       var r = math.acos(1 - sq / 2)
+      // gnomonic projection is only valid within the hemisphere of the
+      // anchor face; past ~60° the tangent folds distant cells onto
+      // plausible-looking but MEANINGLESS lattice positions. The reference
+      // raises H3FailedError for such pairs — so do we, instead of
+      // silently returning garbage (review finding, round 3).
+      require(r < math.Pi / 3,
+        f"cells too far apart for local ij (${math.toDegrees(r)}%.1f° from " +
+          "the origin's home face; reference raises H3FailedError)")
       var theta = posAngle(faceAxesAzClassII(face) -
         posAngle(geoAzimuth(faceCenterGeo(face)._1, faceCenterGeo(face)._2, lat, lng)))
       if (isClassIII(res)) theta = posAngle(theta - M_AP7_ROT_RADS)

@@ -148,6 +148,7 @@ object S2 {
 
   /** Direct 4 children (level+1). */
   def children(id: Long): Array[Long] = {
+    require(!isLeaf(id), "leaf cell has no children")
     val newLsb = lsb(id) >> 2
     Array.tabulate(4)(p => id + (2L * p - 3L) * newLsb)
   }
@@ -158,6 +159,8 @@ object S2 {
     val curLevel = level(id)
     require(targetLevel >= curLevel && targetLevel <= MaxLevel,
       s"target level $targetLevel out of range [$curLevel, $MaxLevel]")
+    require(targetLevel - curLevel <= 15,
+      s"level gap ${targetLevel - curLevel} would enumerate 4^${targetLevel - curLevel} children")
     val n = 1L << (2 * (targetLevel - curLevel))
     val childLsb = lsbForLevel(targetLevel)
     val start = id - lsb(id) + childLsb
@@ -233,7 +236,9 @@ object S2 {
   }
 
   def fromToken(token: String): Long =
-    java.lang.Long.parseUnsignedLong(token.padTo(16, '0'), 16)
+    // "X" is toToken's sentinel for the none cell (id 0) — round-trip it
+    if (token == "X" || token == "x") 0L
+    else java.lang.Long.parseUnsignedLong(token.padTo(16, '0'), 16)
 
   // ---- neighbors (for BFS covering) ----
   /** FromFaceIJ with wrap across face boundaries (standard FromFaceIJWrap:

@@ -65,9 +65,9 @@ object ImageOps {
 
   // Writer lookup + instantiation dominates encode cost for small images —
   // reuse per executor thread (javax.imageio writers are single-threaded but
-  // reusable across writes).
-  private val pngWriter = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
-    ImageIO.getImageWritersByFormatName("png").next())
+  // reusable across writes). PNG goes through encodePngFast (the imageio
+  // PNG writer is ~9× slower and does not thread-scale), so only the JPEG
+  // writer is pooled.
   private val jpegWriter = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
     ImageIO.getImageWritersByFormatName("jpeg").next())
 
@@ -138,10 +138,6 @@ object ImageOps {
     val bos = new ByteArrayOutputStream()
     val out = new MemoryCacheImageOutputStream(bos)
     fmt match {
-      case "png" =>
-        val wr = pngWriter.get()
-        wr.setOutput(out)
-        wr.write(img)
       case "jpeg" =>
         val wr = jpegWriter.get()
         val param = wr.getDefaultWriteParam
@@ -173,16 +169,30 @@ object ImageOps {
   /** Decode to packed RGB ints (row-major). */
   def decodeRgb(bytes: Array[Byte]): Array[Int] = decodeAll(bytes)._1
 
-  def width(bytes: Array[Byte]): Int =
-    ImageIO.read(new ByteArrayInputStream(bytes)).getWidth
-  def height(bytes: Array[Byte]): Int =
-    ImageIO.read(new ByteArrayInputStream(bytes)).getHeight
+  /** Header-only (width, height): no pixel raster decode, and a clear
+    * error on undecodable bytes instead of an executor NPE. */
+  def dims(bytes: Array[Byte]): (Int, Int) = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "undecodable image bytes")
+      val r = readers.next()
+      try { r.setInput(iis); (r.getWidth(0), r.getHeight(0)) }
+      finally r.dispose()
+    } finally iis.close()
+  }
+
+  def width(bytes: Array[Byte]): Int = dims(bytes)._1
+  def height(bytes: Array[Byte]): Int = dims(bytes)._2
 
   /** PSNR (dB) between two decoded images over RGB channels; identical
     * pixels → capped at 99.0 (srai-style allclose ⇒ "infinite"). */
   def psnr(a: Array[Byte], b: Array[Byte]): Double = {
-    val pa = decodeRgb(a); val pb = decodeRgb(b)
-    require(pa.length == pb.length, "image size mismatch")
+    val (pa, wa, ha) = decodeAll(a); val (pb, wb, hb) = decodeAll(b)
+    // equal LENGTH is not equal SHAPE: 2×8 vs 4×4 would compare pixels at
+    // different spatial positions and return a meaningless value
+    require(wa == wb && ha == hb,
+      s"image size mismatch: ${wa}x$ha vs ${wb}x$hb")
     var se = 0.0
     var i = 0
     while (i < pa.length) {

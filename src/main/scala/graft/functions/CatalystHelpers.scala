@@ -65,6 +65,13 @@ object CatalystHelpers {
   def h3GridRing(id: Long, k: Int): ArrayData =
     ArrayData.toArrayData(graft.core.H3.gridRing(id, k).toArray)
 
+  /** One BFS for ALL (cell, min distance) pairs of the k-disk — k separate
+    * gridRing calls re-run every inner disk from scratch. */
+  def h3GridDiskDistances(id: Long, k: Int): ArrayData =
+    new GenericArrayData(graft.core.H3.gridDiskDistances(id, k).map {
+      case (c, d) => org.apache.spark.sql.catalyst.InternalRow(c, d)
+    }.toArray[Any])
+
   def h3Parent(id: Long, res: Int): Long = graft.core.H3.parent(id, res)
 
   def h3Children(id: Long, res: Int): ArrayData =

@@ -60,6 +60,7 @@ object Gf {
     "h3_boundary" -> (e => H3BoundaryExpr(e(0))),
     "h3_grid_disk" -> (e => H3GridDisk(e(0), e(1))),
     "h3_grid_ring" -> (e => H3GridRing(e(0), e(1))),
+    "h3_grid_disk_distances" -> (e => H3GridDiskDistances(e(0), e(1))),
     "h3_parent" -> (e => H3ParentExpr(e(0), e(1))),
     "h3_children" -> (e => H3ChildrenExpr(e(0), e(1))),
     "h3_local_ij" -> (e => H3LocalIjExpr(e(0), e(1))),
@@ -153,6 +154,8 @@ object Gf {
   def h3Boundary(id: Column): Column = call_function("h3_boundary", id)
   def h3GridDisk(id: Column, k: Int): Column = call_function("h3_grid_disk", id, lit(k))
   def h3GridRing(id: Column, k: Int): Column = call_function("h3_grid_ring", id, lit(k))
+  def h3GridDiskDistances(id: Column, k: Int): Column =
+    call_function("h3_grid_disk_distances", id, lit(k))
   def h3Parent(id: Column, res: Int): Column = call_function("h3_parent", id, lit(res))
   def h3Children(id: Column, res: Int): Column = call_function("h3_children", id, lit(res))
   def h3LocalIj(origin: Column, cell: Column): Column =

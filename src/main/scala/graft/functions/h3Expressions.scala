@@ -117,6 +117,21 @@ case class H3ChildrenExpr(left: Expression, right: Expression) extends BinaryExp
 }
 
 /** h3_local_ij(origin, cell) → array<int>[i, j] (N7; errors on pentagons). */
+/** h3_grid_disk_distances(id, k) → array<struct<cell, distance>> — every
+  * disk member with its MIN hop distance from ONE BFS (h3Closure's
+  * generator; per-ring calls re-ran every inner disk k times). */
+case class H3GridDiskDistances(left: Expression, right: Expression)
+    extends BinaryExpression with codegen.CodegenFallback {
+  override def prettyName: String = "h3_grid_disk_distances"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("cell", LongType, nullable = false)
+    .add("distance", IntegerType, nullable = false), containsNull = false)
+  override def nullSafeEval(id: Any, k: Any): Any =
+    CatalystHelpers.h3GridDiskDistances(id.asInstanceOf[Long], k.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** h3_local_ij_try — like h3_local_ij but null on pentagon distortion, so
   * planetary cell sets DROP affected anchors instead of failing the job. */
 case class H3LocalIjTryExpr(left: Expression, right: Expression)

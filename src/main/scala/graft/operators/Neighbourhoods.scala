@@ -41,13 +41,15 @@ object Neighbourhoods {
     * set (semi-join, reference :117-120). */
   def h3Closure(regions: DataFrame, k: Int, unchecked: Boolean = false): DataFrame = {
     val ids = regions.select(col(Tables.RegionsIndex))
-    val rings = (1 to k).map { d =>
-      ids.select(
-        col(Tables.RegionsIndex).as("region_id"),
-        explode(Gf.h3GridRing(Gf.h3FromStr(col(Tables.RegionsIndex)), d)).as("n"))
-        .select(col("region_id"), Gf.h3Str(col("n")).as("neighbour_id"),
-          lit(d).as("distance"))
-    }.reduce(_ unionAll _)
+    // ONE BFS per region for the whole disk (per-ring generators re-ran
+    // every inner disk k times and scanned regions k times via unionAll)
+    val rings = ids.select(
+      col(Tables.RegionsIndex).as("region_id"),
+      explode(Gf.h3GridDiskDistances(
+        Gf.h3FromStr(col(Tables.RegionsIndex)), k)).as("nd"))
+      .where(col("nd.distance") >= 1)
+      .select(col("region_id"), Gf.h3Str(col("nd.cell")).as("neighbour_id"),
+        col("nd.distance").as("distance"))
     if (unchecked) rings
     else rings.join(
       ids.select(col(Tables.RegionsIndex).as("neighbour_id")),
@@ -88,7 +90,13 @@ object Neighbourhoods {
     * k is small, the loop runs on the driver, the data never leaves Spark. */
   def distanceClosure(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val e = edges.select(col("region_id"), col("neighbour_id")).cache()
+    // per-hop localCheckpoint: frontier_d references frontier_(d-1) AND
+    // result_(d-1), so the lazy plan would double per hop; eager
+    // checkpointing bounds the plan and the blocks free themselves when
+    // the result is unreachable (a cache() here leaked one pinned copy of
+    // the edges per call — review finding, round 3)
+    val e = edges.select(col("region_id"), col("neighbour_id"))
+      .localCheckpoint(true)
     var result = e.withColumn("distance", lit(1))
     var frontier = result
     for (d <- 2 to k) {
@@ -100,6 +108,7 @@ object Neighbourhoods {
         .join(result.select("region_id", "neighbour_id"),
           Seq("region_id", "neighbour_id"), "left_anti")
         .withColumn("distance", lit(d))
+        .localCheckpoint(true)
       result = result.unionAll(frontier)
     }
     result
@@ -122,13 +131,10 @@ object Neighbourhoods {
   def neighboursAtDistance(closure: DataFrame, seeds: DataFrame, k: Int,
                            includeCenter: Boolean): DataFrame = {
     if (k == 0) {
-      if (includeCenter)
-        seeds.select(col(Tables.RegionsIndex).as("region_id"),
-          col(Tables.RegionsIndex).as("neighbour_id"), lit(0).as("distance"))
-      else seeds.sparkSession.emptyDataFrame
-        .withColumn("region_id", lit(""))
-        .withColumn("neighbour_id", lit(""))
-        .withColumn("distance", lit(0)).limit(0)
+      val centers = seeds.select(col(Tables.RegionsIndex).as("region_id"),
+        col(Tables.RegionsIndex).as("neighbour_id"), lit(0).as("distance"))
+      // empty frame with the SAME derived schema — no hand-built literals
+      if (includeCenter) centers else centers.where(lit(false))
     } else
       seeds.select(col(Tables.RegionsIndex).as("region_id"))
         .join(closure.where(col("distance") === k), Seq("region_id"))

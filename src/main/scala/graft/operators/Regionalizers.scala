@@ -92,15 +92,25 @@ class VoronoiRegionalizer(maxRadiusDeg: Double = 25.0) extends Regionalizer {
   override def transform(seedPoints: DataFrame): DataFrame = {
     validate(seedPoints)
     val spark = seedPoints.sparkSession
-    val seeds = seedPoints.select(Tables.Geometry).collect().map { r =>
-      val g = graft.core.Geo.fromWkb(r.getAs[Array[Byte]](0))
+    // Region ids mirror the reference's GeoDataFrame INDEX: pass an explicit
+    // `region_id` column for shuffled/multi-partition seed lineage —
+    // DataFrames carry no row order, so the ordinal fallback is only
+    // deterministic for ordered (local/single-partition) inputs.
+    val hasId = seedPoints.columns.contains(Tables.RegionsIndex)
+    val rows = (if (hasId)
+      seedPoints.select(col(Tables.RegionsIndex).cast("string"), col(Tables.Geometry))
+    else seedPoints.select(col(Tables.Geometry))).collect()
+    val idsAndSeeds = rows.zipWithIndex.map { case (r, i) =>
+      val g = graft.core.Geo.fromWkb(r.getAs[Array[Byte]](Tables.Geometry))
       require(g.getGeometryType == "Point", "Voronoi seeds must be points")
-      (g.getCoordinate.x, g.getCoordinate.y)
+      val id = if (hasId) r.getString(0) else i.toString
+      (id, (g.getCoordinate.x, g.getCoordinate.y))
     }.toSeq
-    val cells = graft.core.Voronoi.cells(seeds, maxRadiusDeg = maxRadiusDeg)
+    val cells = graft.core.Voronoi.cells(idsAndSeeds.map(_._2),
+      maxRadiusDeg = maxRadiusDeg)
     import spark.implicits._
-    cells.zipWithIndex.map { case (g, i) =>
-      (i.toString, graft.core.Geo.toWkb(g))
+    idsAndSeeds.map(_._1).zip(cells).map { case (id, g) =>
+      (id, graft.core.Geo.toWkb(g))
     }.toDF(Tables.RegionsIndex, Tables.Geometry)
   }
 }

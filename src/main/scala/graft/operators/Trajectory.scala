@@ -31,10 +31,14 @@ object Trajectory {
     * math — stays in codegen and mirrors 1:1 into the SQL oracle. */
   def haversineMean(a: Column, b: Column): Column = {
     // python zip TRUNCATES to the shorter sequence; Spark zip_with pads
-    // with nulls — slice both sides first
+    // with nulls — slice both sides first. Null elements are SKIPPED like
+    // the reference's `if true_h3 and pred_h3` guard (one bad element must
+    // not null-poison the whole mean).
     val n = least(size(a), size(b))
-    val pairDist = zip_with(slice(a, lit(1), n), slice(b, lit(1), n), (p, q) =>
-      Gf.haversineM(p.getItem(0), p.getItem(1), q.getItem(0), q.getItem(1)))
+    val pairDist = filter(
+      zip_with(slice(a, lit(1), n), slice(b, lit(1), n), (p, q) =>
+        Gf.haversineM(p.getItem(0), p.getItem(1), q.getItem(0), q.getItem(1))),
+      x => x.isNotNull)
     when(size(pairDist) > 0,
       aggregate(pairDist, lit(0.0), (acc, x) => acc + x) / size(pairDist))
   }
@@ -43,8 +47,11 @@ object Trajectory {
     * `sequence_accuracy`; zip truncates to the shorter). */
   def sequenceAccuracy(a: Column, b: Column): Column = {
     val n = least(size(a), size(b))
+    // null-SAFE comparison (<=>): python None == None is True and
+    // None == 'x' is False; a plain === would null-poison the whole mean
+    // on one null element
     val matches = zip_with(slice(a, lit(1), n), slice(b, lit(1), n),
-      (x, y) => (x === y).cast("int"))
+      (x, y) => (x <=> y).cast("int"))
     when(size(matches) > 0,
       aggregate(matches, lit(0), (acc, x) => acc + x).cast("double") / size(matches))
   }
@@ -65,7 +72,10 @@ object Trajectory {
   def hmpPreprocess(df: DataFrame, seqCol: String): DataFrame = {
     val n = size(col(seqCol))
     val rawIdx = floor(n.cast("double") * 0.85).cast("int")
-    val splitIdx = when(rawIdx === n, n - 1).otherwise(rawIdx)
+    // n = 0: the rawIdx==n guard would give -1 and Spark's slice rejects
+    // negative lengths; the reference's Python negative slicing yields
+    // ([], []) — clamp to 0 for the same result
+    val splitIdx = greatest(lit(0), when(rawIdx === n, n - 1).otherwise(rawIdx))
     df.withColumn("h3_sequence_x", slice(col(seqCol), lit(1), splitIdx))
       .withColumn("h3_sequence_y",
         slice(col(seqCol), splitIdx + 1, n - splitIdx))
@@ -93,6 +103,10 @@ object Trajectory {
   def stratificationBin(df: DataFrame, nBins: Int): DataFrame = {
     val r = df.agg(min(col("stratify_col")).cast("double"),
       max(col("stratify_col")).cast("double")).collect()(0)
+    // empty / all-null input: no stats to bin against — null bins, like
+    // pd.cut on an empty series (not a ROW_VALUE_IS_NULL crash)
+    if (r.isNullAt(0) || r.isNullAt(1))
+      return df.withColumn("stratification_bin", lit(null).cast("int"))
     val mn = r.getDouble(0); val mx = r.getDouble(1)
     if (mx == mn) df.withColumn("stratification_bin", lit(0))
     else {

@@ -210,6 +210,81 @@ object SparkEntry {
         .orderBy("video_id", "frame")
     }),
 
+    // --- REAL public-spec audio container: the q52 PCM16 stream wrapped in
+    // a RIFF/WAVE file (fmt + LIST-INFO + data chunks — the parser must
+    // walk chunks, not assume fixed offsets), then decoded back through the
+    // WAV header path before the same RMS/ZCR kernels. The oracle is the
+    // exact q52 sample replay plus the header fields the parse recovered. ---
+    "q54_wav_audio" -> ((s, dir) => {
+      val wav = call_function("wav_encode",
+        call_function("synth_pcm16", col("audio_id"), lit(1024)),
+        lit(16000), lit(1))
+      val pcm = call_function("wav_pcm", col("wav"))
+      t(prep(s), dir, "documents").select(col("doc_id").as("audio_id"))
+        .withColumn("wav", wav)
+        .select(col("audio_id"),
+          call_function("wav_sample_rate", col("wav")).as("sample_rate"),
+          call_function("wav_channels", col("wav")).as("channels"),
+          call_function("audio_zero_crossings", pcm).as("zcr"),
+          posexplode(call_function("audio_rms_windows", pcm, lit(256))))
+        .select(col("audio_id"), col("sample_rate"), col("channels"),
+          col("pos").cast("int").as("w"), round(col("col"), 6).as("rms"),
+          col("zcr"))
+        .orderBy("audio_id", "w")
+    }),
+
+    // --- REAL public-spec video container: deterministic gray frames
+    // encoded with the REAL JDK JPEG codec, wrapped in a spec-complete
+    // MJPEG AVI (hdrl/strl headers, movi chunks, idx1 index), then parsed
+    // back. Certificates per frame: (a) byte-exact container round-trip
+    // (md5 of extracted payload vs re-synthesized JPEG), (b) decode
+    // fidelity of the JPEG path vs a lossless PNG reference — PSNR ≥ 40 dB,
+    // the BASELINE per-row invariant for lossy formats, (c) header fields
+    // + per-payload JPEG dimensions. JPEG bytes are not SQL-replayable, so
+    // the oracle pins the structural facts; byte-level exactness rides the
+    // md5 equality computed Spark-side (both operands full round-trips). ---
+    "q55_avi_mjpeg" -> ((s, dir) => {
+      val jpegFrames = array((0 until 6).map(f =>
+        call_function("frame_synth", col("video_id"), lit(f), lit(16), lit(16),
+          lit("jpeg"))): _*)
+      val avi = call_function("avi_mjpeg_encode", jpegFrames, lit(16), lit(16), lit(8))
+      t(prep(s), dir, "nation")
+        .select(col("n_nationkey").cast("long").as("video_id"))
+        .withColumn("avi", avi)
+        .select(col("video_id"),
+          call_function("avi_frame_count", col("avi")).as("n_frames"),
+          call_function("avi_width", col("avi")).as("w"),
+          call_function("avi_height", col("avi")).as("h"),
+          posexplode(call_function("avi_frames", col("avi"))))
+        .select(col("video_id"), col("n_frames"), col("w"), col("h"),
+          col("pos").cast("int").as("frame"),
+          (md5(col("col")) === md5(call_function("frame_synth", col("video_id"),
+            col("pos").cast("int"), lit(16), lit(16), lit("jpeg")))).as("bytes_exact"),
+          (call_function("img_psnr", col("col"),
+            call_function("frame_synth", col("video_id"), col("pos").cast("int"),
+              lit(16), lit(16), lit("png"))) >= 40.0).as("psnr_ok"),
+          call_function("img_width", col("col")).as("jpeg_w"),
+          call_function("img_height", col("col")).as("jpeg_h"))
+        .orderBy("video_id", "frame")
+    }),
+
+    // --- P6: geometry sha256 (reference get_geometry_hash,
+    // srai/geometry.py:133-138 — SHA256 over the WKT string). Integer-valued
+    // coordinates make our JTS WKT byte-reconstructible in SQL ("POINT (3 1)");
+    // the hash composition sha2∘st_astext is what this row certifies.
+    // (Formatting deviation vs shapely's wkt.dumps fixed-precision decimals
+    // is documented: the hash keys OUR canonical WKT, stable across the
+    // engine, not shapely's byte layout.) ---
+    "q56_geom_sha256" -> ((s, dir) => {
+      val x = col("n_nationkey") % 10
+      val y = col("n_nationkey") % 5
+      t(prep(s), dir, "nation").select(
+          col("n_nationkey").as("id"),
+          sha2(Gf.stAsText(Gf.stPoint(x, y)), 256).as("sha_point"),
+          sha2(Gf.stAsText(Gf.stBox(x, y, x + 2, y + 3)), 256).as("sha_box"))
+        .orderBy("id")
+    }),
+
     // --- image pipeline (graft payload): synth → decode/hash → tile ---
     "q10_image_tile_counts" -> ((s, dir) => {
       val k = graft.sources.Images.key(col("image_id"))
@@ -1151,6 +1226,47 @@ object SparkEntry {
         |  round(CAST(sum((video_id + frame * 31 + px.p * 7) % 256) AS DOUBLE) / 256, 6)
         |    AS mean_luma
         |FROM v, f, px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact q52 replay + the WAV header fields the container parse recovers
+    "q54_wav_audio" ->
+      """WITH a AS (SELECT doc_id AS audio_id FROM documents),
+        |s AS (SELECT audio_id, i, ((audio_id * 31 + i * 7919) % 65536) - 32768 AS v
+        |      FROM a, (SELECT unnest(generate_series(0, 1023)) AS i) t),
+        |r AS (SELECT audio_id, CAST(i // 256 AS INT) AS w,
+        |         round(sqrt(CAST(sum(v * v) AS DOUBLE) / 256), 6) AS rms
+        |      FROM s GROUP BY 1, 2),
+        |z AS (SELECT audio_id,
+        |         CAST(count(*) FILTER (WHERE v * lead_v < 0) AS BIGINT) AS zcr
+        |      FROM (SELECT audio_id, v,
+        |              lead(v) OVER (PARTITION BY audio_id ORDER BY i) AS lead_v
+        |            FROM s)
+        |      GROUP BY 1)
+        |SELECT r.audio_id, CAST(16000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, r.w, r.rms, z.zcr
+        |FROM r JOIN z USING (audio_id) ORDER BY r.audio_id, r.w""".stripMargin,
+
+    // structural facts of the AVI round-trip; bytes_exact/psnr_ok are
+    // Spark-computed certificates the oracle pins to true for every frame
+    "q55_avi_mjpeg" ->
+      """WITH v AS (SELECT CAST(n_nationkey AS BIGINT) AS video_id FROM nation),
+        |f AS (SELECT unnest(generate_series(0, 5)) AS frame)
+        |SELECT video_id, CAST(6 AS INT) AS n_frames, CAST(16 AS INT) AS w,
+        |  CAST(16 AS INT) AS h, CAST(frame AS INT) AS frame,
+        |  true AS bytes_exact, true AS psnr_ok,
+        |  CAST(16 AS INT) AS jpeg_w, CAST(16 AS INT) AS jpeg_h
+        |FROM v, f ORDER BY video_id, frame""".stripMargin,
+
+    "q56_geom_sha256" ->
+      """SELECT n_nationkey AS id,
+        |  sha256('POINT (' || (n_nationkey % 10) || ' ' || (n_nationkey % 5) || ')')
+        |    AS sha_point,
+        |  sha256('POLYGON ((' ||
+        |    (n_nationkey % 10) || ' ' || (n_nationkey % 5) || ', ' ||
+        |    (n_nationkey % 10 + 2) || ' ' || (n_nationkey % 5) || ', ' ||
+        |    (n_nationkey % 10 + 2) || ' ' || (n_nationkey % 5 + 3) || ', ' ||
+        |    (n_nationkey % 10) || ' ' || (n_nationkey % 5 + 3) || ', ' ||
+        |    (n_nationkey % 10) || ' ' || (n_nationkey % 5) || '))') AS sha_box
+        |FROM nation ORDER BY id""".stripMargin,
 
     "q50_s2_within_refine" ->
       """SELECT region_id

@@ -78,6 +78,16 @@ object Gf {
     "synth_video" -> (e => SynthVideo(e(0), e(1), e(2), e(3))),
     "video_frame_sample" -> (e => VideoFrameSample(e(0), e(1))),
     "bytes_mean" -> (e => BytesMean(e(0))),
+    "wav_encode" -> (e => WavEncode(e(0), e(1), e(2))),
+    "wav_pcm" -> (e => WavPcm(e(0))),
+    "wav_sample_rate" -> (e => WavSampleRate(e(0))),
+    "wav_channels" -> (e => WavChannels(e(0))),
+    "avi_mjpeg_encode" -> (e => AviMjpegEncode(e(0), e(1), e(2), e(3))),
+    "avi_frames" -> (e => AviFrames(e(0))),
+    "avi_width" -> (e => AviWidth(e(0))),
+    "avi_height" -> (e => AviHeight(e(0))),
+    "avi_frame_count" -> (e => AviFrameCount(e(0))),
+    "frame_synth" -> (e => FrameSynth(e(0), e(1), e(2), e(3), e(4))),
     "topk_agg" -> (e => TopKAgg(e(0), e(1), e(2))),
     "st_union_agg" -> (e => StUnionAgg(e(0))))
 

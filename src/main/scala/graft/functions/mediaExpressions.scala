@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
 /** Audio/video columns as opaque binary + typed metadata (SURVEY training-
   * data ops; the brief's multimodal contract). Audio is PCM16 mono
   * little-endian — decoding is pure byte math, so the feature extractors are
-  * REAL, not stubs. Video uses a deterministic toy container (12-byte
+  * REAL, not stubs. Video here uses a deterministic toy container (12-byte
   * header: width, height, n_frames as big-endian int32, then n gray
-  * width×height frames) standing in for a codec the sandbox lacks; the
-  * Spark-side plumbing — schema, slicing, per-frame features, batch shape —
-  * is real and driver-certified (q52/q53): synthesis formulas are integer
-  * arithmetic an external SQL engine replays exactly. */
+  * width×height frames) for the SQL-replayable q53 certificate; the real
+  * public-spec containers — RIFF/WAVE around these PCM16 kernels and
+  * MJPEG-in-AVI feeding the real JPEG decoder — live in [[RiffOps]]
+  * (q54/q55). Synthesis formulas are integer arithmetic an external SQL
+  * engine replays exactly. */
 object MediaOps {
 
   /** Deterministic PCM16 synthesis: sample i of stream `id` is
@@ -40,6 +41,7 @@ object MediaOps {
     * (trailing partial window dropped). Exact integer sum, one double
     * division + sqrt — an external engine reproduces it bitwise. */
   def audioRmsWindows(pcm: Array[Byte], window: Int): Array[Double] = {
+    require(window > 0, s"audio_rms_windows: window must be positive, got $window")
     val n = pcm.length / 2
     val wins = n / window
     val out = new Array[Double](wins)
@@ -101,6 +103,7 @@ object MediaOps {
   /** Every `stride`-th frame's raw gray bytes (frame 0 always included) —
     * the sampling step of a frame-captioning / dedup pipeline. */
   def videoFrameSample(container: Array[Byte], stride: Int): Array[Array[Byte]] = {
+    require(stride > 0, s"video_frame_sample: stride must be positive, got $stride")
     val w = be32(container, 0); val h = be32(container, 4)
     val n = be32(container, 8)
     val fsz = w * h

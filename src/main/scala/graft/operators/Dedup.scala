@@ -133,10 +133,16 @@ object Dedup {
   /** SimHash near-duplicate pairs: 64-bit token-vote hash, 4×16-bit band
     * blocking, hamming ≤ maxHamming verification. The hash payload is one
     * long — it rides the band shuffle (8 bytes ×4, cheaper than a join
-    * back). Recall is exact by pigeonhole for maxHamming ≤ 3. */
+    * back). Recall is exact by pigeonhole for maxHamming ≤ 3 — BECAUSE this
+    * variant defaults to an uncapped bucket size; a corpus with a legitimate
+    * >`maxBucketSize` near-identical cluster costs n² pairs inside that
+    * block, which is exactly what the hamming filter must see to stay
+    * exhaustive. Pass `maxBucketSize > 0` to trade that guarantee for a
+    * bound on degenerate blocks (boilerplate clusters), as
+    * [[simhashJaccardPairs]] does by default. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   maxBucketSize: Int = 10000): DataFrame = {
+                   maxBucketSize: Int = 0): DataFrame = {
     val banded = capBuckets(simhashBanded(df, idCol, textCol),
       Seq("band", "chunk"), maxBucketSize)
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))

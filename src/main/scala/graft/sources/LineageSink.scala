@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
@@ -18,42 +18,73 @@ import org.apache.spark.sql.types._
   * Layout — every job is STAGED outside the readable table, then committed
   * with a two-phase move:
   * {{{
-  *   dir/data/<bucket>=<v>/      committed data files — the ONLY thing readers see
+  *   dir/data/<bucket>=<v>/      committed data files — what readers scan
   *   dir/staging/<jobId>/        this job's files, partitioned by bucket
   *   dir/pending/<jobId>         commit intent: the final paths about to appear
-  *   dir/manifest/               commit log + file registry, one row per (job, bucket)
+  *   dir/leases/<jobId>          liveness marker for an IN-FLIGHT job
+  *   dir/manifest/commit-<jobId>.parquet   one commit's manifest rows
+  *   dir/manifest/v-<uuid>/      compacted manifest snapshots (any number)
+  *   dir/_sink_id                sink identity stamp (creation UUID)
   * }}}
   *
   * Commit protocol (all steps O(files written by THIS job), never a listing
   * or scan of the historical table — an Iceberg-style metadata commit):
-  *   1. write `df` into `staging/<jobId>/` (invisible to readers);
-  *   2. list that one directory; read row counts from the new files'
+  *   1. acquire the job lease (one empty file);
+  *   2. write `df` into `staging/<jobId>/` (invisible to readers);
+  *   3. list that one directory; read row counts from the new files'
   *      parquet FOOTERS (metadata only, no data scan);
-  *   3. write the `pending/<jobId>` marker naming every final path;
-  *   4. rename each staged file into `data/`;
-  *   5. append the manifest rows; delete the marker + staging dir.
+  *   4. write the `pending/<jobId>` marker naming every final path;
+  *   5. rename each staged file into `data/`;
+  *   6. land the manifest rows as `commit-<jobId>.parquet` (written to a
+  *      job-private temp dir, then ONE rename — concurrent committers never
+  *      share a Spark `_temporary` directory);
+  *   7. delete the marker, staging dir and lease.
   *
-  * Crash recovery ([[recover]], run before every write) is driven purely by
-  * the markers: a crash before step 3 leaves only a staging dir (deleted);
-  * a crash between 3 and 5 leaves a marker whose job either reached the
-  * manifest (roll FORWARD: drop the marker) or did not (roll BACK: delete
-  * exactly the marker's listed paths). Readers of `dir/data` therefore see
-  * each row exactly once, at commit granularity, no matter where a job died.
-  * Recovery touches only `pending/`, `staging/` and the manifest — commit
-  * cost never grows with the age or size of the table. (Round-2 committed
-  * via the live data directory and re-listed the entire tree per commit.)
+  * MULTI-WRITER SAFETY (round-4): concurrent jobs writing one sink are safe
+  * because every shared-state transition is either job-scoped (staging,
+  * marker, lease, commit file — all named by jobId) or append-only (the
+  * manifest). [[recover]] — run by every writer before it starts — reaps
+  * only jobs whose lease is DEAD: missing (clean finish or a failed job
+  * that released in `finally`) or older than the stale horizon
+  * (`graft.lineage.staleMs`, default 10 min — a process that died holding
+  * its lease). A live concurrent job's staging/marker is never swept. The
+  * cost: a job that DIED holding its lease leaves its partial state (and,
+  * after a mid-commit crash, its half-moved data files) visible for up to
+  * the horizon before any writer rolls it back — readers that must never
+  * see such files should read [[snapshot]] (manifest-registered files
+  * only), which is exact at commit granularity at all times.
+  *
+  * Crash recovery is driven purely by the markers: a crash before step 4
+  * leaves only a staging dir (deleted once the lease is dead); a crash
+  * between 4 and 7 leaves a marker whose job either reached the manifest
+  * (roll FORWARD: drop the marker) or did not (roll BACK: delete exactly
+  * the marker's listed paths). Recovery reads only `pending/`, `staging/`,
+  * `leases/` and the manifest rows OF THE MARKED JOBS (an `isin` filter —
+  * O(markers) driver state, not O(commits); round-3 collected every
+  * committed job id).
+  *
+  * Manifest = the union of flat `commit-*.parquet` files and every COMPLETE
+  * (`_SUCCESS`-marked) `v-*` snapshot dir, deduplicated on (job_id, bucket).
+  * Duplication between a snapshot and the commits it covers is therefore
+  * HARMLESS, which is what makes compaction lock-free: [[compactManifest]]
+  * writes a new uniquely-named snapshot of whatever it listed, and retires
+  * covered items only once a snapshot covering them has been complete for
+  * at least the stale horizon (so any reader that listed the manifest
+  * before the deletion saw a snapshot containing those rows — the
+  * Iceberg expire-snapshots-with-retention pattern, replacing round-3's
+  * non-atomic CURRENT-pointer delete+rename swap). Two concurrent
+  * compactions write two snapshots; both are read, dedup converges, and a
+  * later compaction folds them into one.
   *
   * File identity: manifest `files` entries and recovery paths are BOTH
   * derived from Hadoop listings (`Path.toUri.getPath`) — a single encoding,
   * so bucket values that URI-escape (spaces, `%`, non-ASCII) round-trip.
-  * (Round-2 mixed `input_file_name()` percent-encoding with decoded listing
-  * paths, which could mis-identify committed files.)
   *
   * All filesystem access goes through Hadoop [[FileSystem]] (works on HDFS /
   * object stores, not only local disk). On object stores without atomic
-  * rename the per-file move in step 4 is a copy — still O(new); swap in a
+  * rename the per-file move in step 5 is a copy — still O(new); swap in a
   * real Iceberg catalog for a pure-metadata commit. At cluster scale the
-  * driver-side footer loop in step 2 would come from task commit messages;
+  * driver-side footer loop in step 3 would come from task commit messages;
   * per job it is one footer read per new file.
   *
   * Bucket column choice: a coarse cell prefix (e.g. S2 token at level 4-6 or
@@ -69,6 +100,13 @@ object LineageSink {
   private def manifestDir(dir: String) = s"$dir/manifest"
   private def stagingRoot(dir: String) = s"$dir/staging"
   private def pendingDir(dir: String) = s"$dir/pending"
+  private def leaseRoot(dir: String) = s"$dir/leases"
+
+  /** Liveness horizon: a lease older than this marks a dead job, and a
+    * manifest snapshot must be complete this long before the items it
+    * covers may be deleted. */
+  private def staleMs(spark: SparkSession): Long =
+    spark.conf.getOption("graft.lineage.staleMs").map(_.toLong).getOrElse(600000L)
 
   private def fileSystem(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -90,47 +128,112 @@ object LineageSink {
     out.toSeq
   }
 
+  // ------------------------------------------------------------- leases ---
+
+  private def leasePath(dir: String, jobId: String) =
+    new Path(s"${leaseRoot(dir)}/$jobId")
+
+  private def acquireLease(fs: FileSystem, dir: String, jobId: String): Unit = {
+    val p = leasePath(dir, jobId)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  private def releaseLease(fs: FileSystem, dir: String, jobId: String): Unit =
+    fs.delete(leasePath(dir, jobId), false)
+
+  /** A job is LIVE while its lease file exists and is younger than the
+    * stale horizon. Everything belonging to a non-live job is fair game
+    * for [[recover]]. */
+  private def leaseLive(fs: FileSystem, dir: String, jobId: String,
+                        horizonMs: Long): Boolean =
+    try {
+      val st = fs.getFileStatus(leasePath(dir, jobId))
+      System.currentTimeMillis() - st.getModificationTime < horizonMs
+    } catch { case _: java.io.FileNotFoundException => false }
+
+  // ----------------------------------------------------------- recovery ---
+
   /** Roll the sink to a consistent state after any crash. Inspects ONLY the
-    * pending markers, the staging root and the manifest — never the data
-    * tree. Safe to call when idle (single-writer, as before). */
+    * pending markers, the staging root, the leases and the manifest rows of
+    * the marked jobs — never the data tree. Safe to run CONCURRENTLY with
+    * live writers: anything under a live lease is skipped. */
   def recover(spark: SparkSession, dir: String): Unit = {
     val fs = fileSystem(spark, dir)
+    val horizon = staleMs(spark)
     val pending = new Path(pendingDir(dir))
     if (fs.exists(pending)) {
+      def markerLines(p: Path): List[String] = {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      // a marker's liveness is its owning ATTEMPT's lease (header line);
+      // legacy/injected markers without a header have no lease → dead
+      def markerLive(p: Path): Boolean =
+        markerLines(p).headOption.collect {
+          case h if h.startsWith("#attempt=") => h.stripPrefix("#attempt=")
+        }.exists(a => leaseLive(fs, dir, a, horizon))
       val markers = fs.listStatus(pending).map(_.getPath)
         .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+        .filterNot(markerLive)
       if (markers.nonEmpty) {
         val m = manifest(spark, dir)
-        val committedJobs: Set[String] =
+        // O(markers) driver state: only the MARKED jobs' manifest rows are
+        // pulled, never the full committed set (round-3 collected all job
+        // ids). The registered-file sets distinguish roll-forward from a
+        // failed DUPLICATE attempt of an already-committed job id (two
+        // concurrent committers with one jobId: the loser's marker lists
+        // different part-file names than the winner registered — those
+        // must be deleted, or the loser's half-moved files would linger as
+        // duplicate rows).
+        val markerIds = markers.map(_.getName).toSeq
+        val committedFiles: Map[String, Set[String]] =
           if (m.columns.contains("job_id"))
-            m.select("job_id").distinct().collect().map(_.getString(0)).toSet
-          else Set.empty
+            m.where(col("job_id").isin(markerIds: _*))
+              .select(col("job_id"), explode(col("files")).as("f"))
+              .collect()
+              .groupBy(_.getString(0)).view
+              .mapValues(_.map(_.getString(1)).toSet).toMap
+          else Map.empty
         for (marker <- markers) {
           val jobId = marker.getName
-          if (!committedJobs.contains(jobId)) {
-            // roll back: delete exactly the files this job intended to commit
-            val in = fs.open(marker)
-            val listed =
-              try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-              finally in.close()
-            listed.filter(_.nonEmpty).foreach { p =>
-              val fp = new Path(p)
-              if (fs.exists(fp)) fs.delete(fp, false)
-            }
+          val registered = committedFiles.getOrElse(jobId, Set.empty)
+          // roll back every marker-listed path the manifest did not
+          // register (all of them when the job never committed)
+          val listed = markerLines(marker).filterNot(_.startsWith("#"))
+          listed.filter(p => p.nonEmpty && !registered(p)).foreach { p =>
+            val fp = new Path(p)
+            if (fs.exists(fp)) fs.delete(fp, false)
           }
           fs.delete(marker, false)
+          releaseLease(fs, dir, jobId)
         }
       }
     }
-    // any staging dir present while no job is in flight belongs to a dead job
+    // staging dirs and manifest temp dirs of non-live jobs belong to dead
+    // jobs; a live concurrent writer's are left alone
     val sroot = new Path(stagingRoot(dir))
     if (fs.exists(sroot))
-      fs.listStatus(sroot).foreach(s => fs.delete(s.getPath, true))
-    // retire INCOMPLETE manifest version dirs from a crashed compaction
-    // (cleanup lives on the write path only — readers never delete)
-    versionDirs(fs, dir)
-      .filterNot { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
-      .foreach { case (_, p) => fs.delete(p, true) }
+      fs.listStatus(sroot)
+        .filterNot(s => leaseLive(fs, dir, s.getPath.getName, horizon))
+        .foreach(s => { fs.delete(s.getPath, true)
+          releaseLease(fs, dir, s.getPath.getName) })
+    val mroot = new Path(manifestDir(dir))
+    if (fs.exists(mroot)) {
+      fs.listStatus(mroot).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(".mtmp-") &&
+            !leaseLive(fs, dir, n.stripPrefix(".mtmp-"), horizon))
+          fs.delete(s.getPath, true)
+        // INCOMPLETE snapshot dirs from a crashed compaction — but only
+        // once stale, so an in-flight concurrent compaction isn't swept
+        if (isVersionName(n) && s.isDirectory &&
+            !fs.exists(new Path(s.getPath, "_SUCCESS")) &&
+            System.currentTimeMillis() - s.getModificationTime > horizon)
+          fs.delete(s.getPath, true)
+      }
+    }
   }
 
   private val manifestSchema = StructType(Seq(
@@ -140,63 +243,93 @@ object LineageSink {
     StructField("job_id", StringType),
     StructField("written_at", TimestampType)))
 
-  /** Stage `df` under a fresh job id and run the two-phase commit. */
+  /** Land one job's manifest rows as `commit-<jobId>.parquet`: Spark-write
+    * into a job-private temp dir, then a single rename. Concurrent
+    * committers touch disjoint paths (no shared `_temporary`). */
+  private def appendManifestRows(spark: SparkSession, dir: String,
+      jobId: String, attempt: String, rows: Seq[Row]): Unit = {
+    val fs = fileSystem(spark, dir)
+    val tmp = new Path(s"${manifestDir(dir)}/.mtmp-$attempt")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), manifestSchema)
+      .write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
+    val parts = listFilesUnder(fs, tmp).filter(_.getName.endsWith(".parquet"))
+    require(parts.size == 1, s"expected one manifest part file, got $parts")
+    val target = new Path(s"${manifestDir(dir)}/commit-$jobId.parquet")
+    require(fs.rename(parts.head, target), s"manifest commit rename failed: $target")
+    fs.delete(tmp, true)
+  }
+
+  /** Stage `df` and run the two-phase commit. The STAGING dir and LEASE are
+    * per-ATTEMPT (`<jobId>--<uuid>`): two concurrent attempts of one job id
+    * (two streams misconfigured onto one sink, a speculative double-fire)
+    * must never share a staging tree or a Spark `_temporary` dir. The
+    * pending MARKER stays jobId-named — its exclusive creation is the
+    * commit mutex: exactly one attempt proceeds past it, and a late loser
+    * that slips through after the winner finished fails at the manifest
+    * rename and is rolled back by [[recover]] via the marker-vs-registered
+    * file diff. */
   private def stageAndCommit(df: DataFrame, dir: String, bucketCol: String,
       jobId: String = java.util.UUID.randomUUID().toString): Unit = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
-    val staging = new Path(s"${stagingRoot(dir)}/$jobId")
+    val attempt = s"$jobId--${java.util.UUID.randomUUID()}"
+    val staging = new Path(s"${stagingRoot(dir)}/$attempt")
 
-    df.write.mode(SaveMode.ErrorIfExists).partitionBy(bucketCol)
-      .parquet(staging.toString)
+    acquireLease(fs, dir, attempt)
+    try {
+      df.write.mode(SaveMode.ErrorIfExists).partitionBy(bucketCol)
+        .parquet(staging.toString)
 
-    val staged = listFilesUnder(fs, staging)
-    if (staged.isEmpty) { fs.delete(staging, true); return }
+      val staged = listFilesUnder(fs, staging)
+      if (staged.isEmpty) { fs.delete(staging, true); return }
 
-    // per-bucket rows from the NEW files' footers only (metadata, no scan)
-    val perBucket = staged.groupBy(_.getParent.getName).toSeq.sortBy(_._1)
-      .map { case (partDirName, files) =>
-        val rows = files.map { p =>
-          val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-          try r.getRecordCount finally r.close()
-        }.sum
-        val bucketValue = ExternalCatalogUtils.unescapePathName(
-          partDirName.stripPrefix(bucketCol + "="))
-        val finalKeys = files.map(p =>
-          key(new Path(s"${dataDir(dir)}/$partDirName/${p.getName}")))
-        (bucketValue, rows, partDirName, files, finalKeys)
+      // per-bucket rows from the NEW files' footers only (metadata, no scan)
+      val perBucket = staged.groupBy(_.getParent.getName).toSeq.sortBy(_._1)
+        .map { case (partDirName, files) =>
+          val rows = files.map { p =>
+            val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+            try r.getRecordCount finally r.close()
+          }.sum
+          val bucketValue = ExternalCatalogUtils.unescapePathName(
+            partDirName.stripPrefix(bucketCol + "="))
+          val finalKeys = files.map(p =>
+            key(new Path(s"${dataDir(dir)}/$partDirName/${p.getName}")))
+          (bucketValue, rows, partDirName, files, finalKeys)
+        }
+
+      // phase 1: record intent — every final path this commit will create.
+      // Exclusive create = the per-jobId commit mutex; the first line names
+      // the owning attempt so recover() can check ITS lease for liveness.
+      val pend = new Path(s"${pendingDir(dir)}/$jobId")
+      fs.mkdirs(pend.getParent)
+      val out = fs.create(pend, false)
+      try out.write((s"#attempt=$attempt\n" + perBucket.flatMap(_._5).mkString("\n"))
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+
+      // phase 2: move staged files into the table
+      for ((_, _, partDirName, files, _) <- perBucket) {
+        val target = new Path(s"${dataDir(dir)}/$partDirName")
+        fs.mkdirs(target)
+        files.foreach { p =>
+          // rename returns false instead of throwing on some filesystems —
+          // proceeding would register a file the move lost, so fail the
+          // commit here and let recover() roll the marker back
+          require(fs.rename(p, new Path(target, p.getName)),
+            s"commit move failed: $p -> $target (job $jobId rolled back on recovery)")
+        }
       }
 
-    // phase 1: record intent — every final path this commit will create
-    val pend = new Path(s"${pendingDir(dir)}/$jobId")
-    fs.mkdirs(pend.getParent)
-    val out = fs.create(pend, false)
-    try out.write(perBucket.flatMap(_._5).mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-
-    // phase 2: move staged files into the table
-    for ((_, _, partDirName, files, _) <- perBucket) {
-      val target = new Path(s"${dataDir(dir)}/$partDirName")
-      fs.mkdirs(target)
-      files.foreach { p =>
-        // rename returns false instead of throwing on some filesystems —
-        // proceeding would register a file the move lost, so fail the
-        // commit here and let recover() roll the marker back
-        require(fs.rename(p, new Path(target, p.getName)),
-          s"commit move failed: $p -> $target (job $jobId rolled back on recovery)")
+      // phase 3: land the commit log row file, then retire marker + staging
+      val now = new java.sql.Timestamp(System.currentTimeMillis())
+      val rows = perBucket.map { case (b, n, _, _, keys) =>
+        Row(b, n, keys, jobId, now)
       }
-    }
-
-    // phase 3: append the commit log, then retire marker + staging dir
-    val now = new java.sql.Timestamp(System.currentTimeMillis())
-    val rows = perBucket.map { case (b, n, _, _, keys) =>
-      Row(b, n, keys, jobId, now)
-    }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), manifestSchema)
-      .write.mode(SaveMode.Append).parquet(resolvedManifestDir(spark, dir))
-    fs.delete(pend, false)
-    fs.delete(staging, true)
+      appendManifestRows(spark, dir, jobId, attempt, rows)
+      fs.delete(pend, false)
+      fs.delete(staging, true)
+    } finally releaseLease(fs, dir, attempt)
   }
 
   /** Write `df` partitioned by `bucketCol` through the staged two-phase
@@ -210,14 +343,50 @@ object LineageSink {
     manifest(spark, dir)
   }
 
-  /** Already-committed job ids seen by THIS driver — short-circuits the
-    * per-batch manifest scan for a long-running stream (the manifest is a
-    * growing file log; re-reading it every micro-batch would make trigger
-    * overhead grow with stream age). Correctness never depends on the
-    * cache: a fresh driver falls through to the manifest read once per
-    * unseen id, and a cache hit is only honored while the sink's manifest
-    * still exists (a wiped/reset sink dir invalidates its entries). Keys
-    * are NUL-separated so dirs/ids containing spaces cannot collide. */
+  // ---------------------------------------------------- sink identity ----
+
+  /** The sink's creation UUID, stamped on first use (exclusive create — a
+    * concurrent loser reads the winner's). A wiped-and-recreated sink dir
+    * gets a NEW id, which is what keys the seen-cache below: entries of the
+    * old incarnation can never satisfy a lookup against the new one.
+    * (Partial wipes that preserve `_sink_id` keep the identity — wipe the
+    * sink root, not its insides.) */
+  private def sinkId(fs: FileSystem, dir: String): String = {
+    val p = new Path(s"$dir/_sink_id")
+    var attempt = 0
+    while (attempt < 100) {
+      // read first: a concurrent creator may expose a HALF-written file (or
+      // a torn checksum on ChecksumFileSystem) for a moment — accept only a
+      // complete UUID, otherwise fall through and retry
+      try {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+        if (s.length == 36) return s
+      } catch { case _: java.io.IOException => () }
+      // missing: try to stamp it ourselves (exclusive create; losing the
+      // race is fine — the next read returns the winner's id)
+      try {
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, false)
+        try out.write(java.util.UUID.randomUUID().toString
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case _: java.io.IOException => () }
+      attempt += 1
+      if (attempt > 1) Thread.sleep(5)
+    }
+    throw new IllegalStateException(s"cannot establish sink identity at $p")
+  }
+
+  /** Already-committed (sink incarnation, job id) pairs seen by THIS
+    * driver — short-circuits the per-batch manifest scan for a long-running
+    * stream (re-reading the growing manifest every micro-batch would make
+    * trigger overhead grow with stream age). Correctness never depends on
+    * the cache: a fresh driver falls through to the manifest read once per
+    * unseen id, and keys embed the sink's creation UUID, so a wiped and
+    * re-created sink (new UUID) can never produce a stale hit. Keys are
+    * NUL-separated so dirs/ids containing spaces cannot collide. */
   private val seenJobIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private[graft] def resetSeenCache(): Unit = seenJobIds.clear()
@@ -241,20 +410,15 @@ object LineageSink {
   }
 
   /** [[writeBatch]] without materializing the manifest afterwards — the
-    * foreachBatch entry point: a cache-hit replay costs one existence check
-    * instead of a manifest directory listing, so trigger overhead stays
-    * O(1) in stream age. */
+    * foreachBatch entry point: a cache-hit replay costs one small
+    * `_sink_id` read instead of a manifest listing, so trigger overhead
+    * stays O(1) in stream age. */
   def commitBatch(df: DataFrame, dir: String, bucketCol: String,
                   jobId: String): Unit = {
     val spark = df.sparkSession
-    val cacheKey = s"$dir\u0000$jobId"
-    if (seenJobIds.contains(cacheKey)) {
-      // honor the hit only while the sink this cache entry describes still
-      // exists — a wiped dir must be re-committed, not silently skipped
-      if (fileSystem(spark, dir).exists(new Path(manifestDir(dir)))) return
-      val prefix = s"$dir\u0000"
-      seenJobIds.removeIf(_.startsWith(prefix))
-    }
+    val fs = fileSystem(spark, dir)
+    val cacheKey = s"$dir\u0000${sinkId(fs, dir)}\u0000$jobId"
+    if (seenJobIds.contains(cacheKey)) return
     recover(spark, dir)
     val m = manifest(spark, dir)
     val seen = m.columns.contains("job_id") &&
@@ -263,95 +427,110 @@ object LineageSink {
     seenJobIds.add(cacheKey)
   }
 
-  // --- manifest versioning: the commit log is append-only, so after many
-  // commits it is a pile of small parquet files whose LISTING cost grows
-  // with table age. compactManifest() rewrites it into one file under a
-  // version dir (`manifest/v<N>/`) and swaps the `manifest/CURRENT` pointer
-  // (write tmp + rename — Iceberg's version-hint pattern). Readers resolve:
-  // CURRENT pointer → its version dir; no pointer but complete version
-  // dirs → the highest (covers a crash between writing the new version and
-  // the pointer swap; versions are supersets under the single-writer rule);
-  // otherwise the legacy flat layout. Commits append into the resolved dir,
-  // so the protocol composes with every write/resume/batch path. ---
+  // ------------------------------------------------- manifest snapshots ---
 
-  private def currentPath(dir: String) = new Path(s"${manifestDir(dir)}/CURRENT")
+  private def isVersionName(n: String): Boolean =
+    n.matches("v-[0-9a-f-]+") || n.matches("v\\d+")
 
-  private def versionDirs(fs: FileSystem, dir: String): Seq[(Int, Path)] = {
+  private def manifestParts(fs: FileSystem,
+      dir: String): (Seq[FileStatus], Seq[FileStatus]) = {
     val root = new Path(manifestDir(dir))
-    if (!fs.exists(root)) return Nil
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
-      .map(s => (s.getPath.getName.drop(1).toInt, s.getPath))
+    if (!fs.exists(root)) return (Nil, Nil)
+    val st = fs.listStatus(root).toSeq
+    val flats = st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val versions = st.filter(s => s.isDirectory && isVersionName(s.getPath.getName) &&
+      fs.exists(new Path(s.getPath, "_SUCCESS")))
+    (flats, versions)
   }
 
-  /** The directory manifest rows live in right now (version-aware). */
-  private def resolvedManifestDir(spark: SparkSession, dir: String): String = {
+  /** All committed manifest rows (empty frame if nothing committed yet):
+    * the union of flat commit files and complete snapshot dirs, dedup'd on
+    * (job_id, bucket) — so overlap between a snapshot and the commits it
+    * covers (the lock-free compaction window) never double-counts, and a
+    * file retired between our listing and the scan is ignorable because a
+    * snapshot covering it was already complete when we listed. */
+  def manifest(spark: SparkSession, dir: String): DataFrame = {
     val fs = fileSystem(spark, dir)
-    val cur = currentPath(dir)
-    if (fs.exists(cur)) {
-      val in = fs.open(cur)
-      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
-      s"${manifestDir(dir)}/$v"
-    } else {
-      val complete = versionDirs(fs, dir)
-        .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
-      if (complete.nonEmpty) complete.maxBy(_._1)._2.toString
-      else manifestDir(dir) // flat legacy; manifest() reads TOP-LEVEL files
-        // only, so an incomplete version dir from a crashed compaction
-        // cannot pollute the read (recover() retires it on the write path)
-    }
+    val (flats, versions) = manifestParts(fs, dir)
+    val paths = (flats ++ versions).map(_.getPath.toString)
+    if (paths.isEmpty) return spark.emptyDataFrame
+    val df = spark.read.option("ignoreMissingFiles", "true")
+      .parquet(paths: _*)
+    if (df.columns.contains("job_id")) df.dropDuplicates("job_id", "bucket")
+    else df
   }
 
-  /** Rewrite the manifest into ONE file and retire the old log. Explicit
-    * maintenance (like Iceberg's rewrite_manifests) — run it periodically
-    * on long-lived sinks; cost is one read+write of the manifest rows,
-    * independent of the data tree. Safe against a crash at any step:
-    * readers follow the pointer, or the highest complete version when the
-    * crash hit between version write and pointer swap. */
+  /** Rewrite the manifest into ONE snapshot and retire what it covers.
+    * Explicit maintenance (like Iceberg's rewrite_manifests) — run it
+    * periodically on long-lived sinks; cost is one read+write of the
+    * manifest rows, independent of the data tree.
+    *
+    * Lock-free: the snapshot dir name is unique (`v-<uuid>`), the `_covers`
+    * file records exactly what it subsumed, and covered items are deleted
+    * only by a LATER compaction, once the covering snapshot has been
+    * complete for the stale horizon — any reader that listed the manifest
+    * before such a deletion therefore saw the covering snapshot, and
+    * `ignoreMissingFiles` + (job_id, bucket) dedup make the read exact.
+    * Concurrent compactions both succeed (two snapshots, dedup'd), and a
+    * crash at any step leaves only harmless duplicates or a stale
+    * incomplete dir that [[recover]] retires. */
   def compactManifest(spark: SparkSession, dir: String): DataFrame = {
     val fs = fileSystem(spark, dir)
-    val m = manifest(spark, dir)
-    if (m.columns.isEmpty) return m
-    val nextV = (versionDirs(fs, dir).map(_._1) :+ 0).max + 1
-    val target = s"${manifestDir(dir)}/v$nextV"
-    m.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(target)
-    // pointer swap: tmp + rename (rename onto an existing file is not
-    // portable — delete first; the max-complete-version fallback covers
-    // the tiny window with no pointer)
-    val tmp = new Path(s"${manifestDir(dir)}/_CURRENT.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"v$nextV".getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(currentPath(dir))) fs.delete(currentPath(dir), false)
-    require(fs.rename(tmp, currentPath(dir)), "manifest pointer swap failed")
-    // retire everything that is not the new version or the pointer
-    fs.listStatus(new Path(manifestDir(dir))).foreach { s =>
-      val n = s.getPath.getName
-      if (n != s"v$nextV" && n != "CURRENT") fs.delete(s.getPath, true)
-    }
-    manifest(spark, dir)
-  }
+    val horizon = staleMs(spark)
+    val (flats, versions) = manifestParts(fs, dir)
 
-  /** All committed manifest rows (empty frame if nothing committed yet).
-    * Reads explicit top-level files so a version dir mid-compaction never
-    * leaks into a flat read — and the read path never deletes anything. */
-  def manifest(spark: SparkSession, dir: String): DataFrame = {
-    val mdir = resolvedManifestDir(spark, dir)
-    val fs = fileSystem(spark, dir)
-    val p = new Path(mdir)
-    if (!fs.exists(p)) return spark.emptyDataFrame
-    val files = fs.listStatus(p).filter(_.isFile).map(_.getPath)
-      .filter(f => f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(_.toString).toIndexedSeq: _*)
+    // retire pass: items covered by a snapshot complete for >= horizon
+    for (v <- versions
+         if System.currentTimeMillis() - v.getModificationTime > horizon) {
+      val coversPath = new Path(v.getPath, "_covers")
+      if (fs.exists(coversPath)) {
+        val in = fs.open(coversPath)
+        val covered =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        covered.filter(_.nonEmpty).foreach { name =>
+          val p = new Path(s"${manifestDir(dir)}/$name")
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      }
+    }
+
+    val (flats2, versions2) = manifestParts(fs, dir)
+    if (flats2.isEmpty && versions2.size <= 1) return manifest(spark, dir)
+    val covered = (flats2 ++ versions2).map(_.getPath)
+    val m = spark.read.option("ignoreMissingFiles", "true")
+      .parquet(covered.map(_.toString): _*)
+    val deduped =
+      if (m.columns.contains("job_id")) m.dropDuplicates("job_id", "bucket") else m
+    val target = s"${manifestDir(dir)}/v-${java.util.UUID.randomUUID()}"
+    deduped.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(target)
+    val out = fs.create(new Path(s"$target/_covers"), false)
+    try out.write(covered.map(_.getName).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    manifest(spark, dir)
   }
 
   /** Buckets already committed (partition-directory string values). */
   def completed(spark: SparkSession, dir: String): DataFrame = {
     val m = manifest(spark, dir)
     if (m.columns.isEmpty) m else m.select(m.columns.head).distinct()
+  }
+
+  /** The committed table EXACTLY: reads the manifest-registered files, so
+    * concurrent readers never see a live job's half-moved files or a dead
+    * job's not-yet-recovered leftovers (which a raw `dir/data` scan can,
+    * for up to the stale horizon). The file list is driver-materialized —
+    * inherent to planning a file scan; at extreme file counts, filter the
+    * manifest by bucket first and read the pruned subset. */
+  def snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val m = manifest(spark, dir)
+    if (m.columns.isEmpty || !m.columns.contains("files"))
+      return spark.emptyDataFrame
+    val files = m.select(explode(col("files"))).distinct()
+      .collect().map(_.getString(0))
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   /** Resume a partially-completed job: recover from any crashed attempt,
@@ -402,25 +581,30 @@ object LineageSink {
     * row (files planted outside the staged-commit protocol — e.g. a foreign
     * writer). This is the ONLY full-tree listing in the sink and is never
     * called from the write path, mirroring Iceberg's `remove_orphan_files`
-    * maintenance procedure. Legacy manifests without a file registry are
-    * left untouched. Returns the number of files removed. */
+    * maintenance procedure. The committed-file registry stays distributed —
+    * the listing anti-joins the exploded manifest, and only the ORPHANS come
+    * back to the driver (round-3 collected the whole committed set). Legacy
+    * manifests without a file registry are left untouched. Returns the
+    * number of files removed. */
   def cleanOrphans(spark: SparkSession, dir: String): Int = {
     recover(spark, dir)
     val m = manifest(spark, dir)
     if (!m.columns.contains("files")) return 0
-    val committed =
-      m.select(explode(col("files"))).collect().map(_.getString(0)).toSet
     val fs = fileSystem(spark, dir)
-    val orphans = listFilesUnder(fs, new Path(dataDir(dir)))
-      .filterNot(p => committed(key(p)))
-    orphans.foreach(p => fs.delete(p, false))
+    import spark.implicits._
+    val listed = listFilesUnder(fs, new Path(dataDir(dir))).map(key).toDF("path")
+    val committed = m.select(explode(col("files")).as("path")).distinct()
+    val orphans = listed.join(committed, Seq("path"), "left_anti")
+      .collect().map(_.getString(0))
+    orphans.foreach(p => fs.delete(new Path(p), false))
     orphans.length
   }
 
   /** Fault injection for specs + the q44 driver certificate: stage `df`,
     * write the pending marker, move only ~half of the staged files into the
     * table, then "die" — exactly the state a job killed between commit
-    * phases 2 and 3 leaves behind. [[recover]] must roll it back. */
+    * phases 5 and 6 leaves behind. No lease is written (the simulated
+    * process is gone), so [[recover]] must roll it back immediately. */
   private[graft] def injectCrashMidCommit(df: DataFrame, dir: String,
                                           bucketCol: String): Unit = {
     val spark = df.sparkSession
@@ -446,7 +630,7 @@ object LineageSink {
   }
 
   /** Fault injection: a job that died while still writing its staging
-    * directory (no marker yet). */
+    * directory (no marker, no lease). */
   private[graft] def injectCrashMidStaging(df: DataFrame, dir: String,
                                            bucketCol: String): Unit = {
     val jobId = "staged-" + java.util.UUID.randomUUID().toString

@@ -53,14 +53,18 @@ object Streams {
 
   /** Exactly-once streaming ingest into the lineage sink (north rule:
     * resumable ingest with per-partition lineage): every micro-batch
-    * commits through [[graft.sources.LineageSink.writeBatch]] with
+    * commits through [[graft.sources.LineageSink.commitBatch]] with
     * `jobId = batch-<batchId>`, so a replayed batch — restart from the
     * checkpoint, mid-commit crash — lands exactly once (idempotent manifest
-    * check + staged two-phase commit). One logical stream per sink dir, and
-    * the checkpoint must be durable: batchId→offsets lives there, and a
-    * LOST checkpoint re-plans batch ids over possibly-different data, which
-    * no batchId-keyed idempotent sink can dedupe correctly (this is the
-    * standard Spark foreachBatch contract). */
+    * check + staged two-phase commit). Concurrent writers on one sink dir
+    * are commit-safe (round-4 leases + the exclusive pending marker — even
+    * two attempts of one batch id land once), but still run ONE logical
+    * stream per sink dir: distinct streams each start their batch ids at 0,
+    * so one stream's committed ids would silently swallow the other's
+    * batches. The checkpoint must be durable: batchId→offsets lives there,
+    * and a LOST checkpoint re-plans batch ids over possibly-different data,
+    * which no batchId-keyed idempotent sink can dedupe correctly (this is
+    * the standard Spark foreachBatch contract). */
   def lineageSink(df: DataFrame, dir: String, bucketCol: String,
                   checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream

@@ -6,8 +6,10 @@ import graft.functions.Gf
 
 /** GTFS feed loader (reference: srai/loaders/gtfs_loader.py:60-193):
   * stop_times ⋈ trips ⋈ stops with the gtfs2vec aggregation —
-  *  - `trips_at_{h}`: number of DISTINCT trips departing from the stop in
-  *    hour h (reference `_load_trips` via gtfs_kit stop time series);
+  *  - `trips_at_{h}`: trips departing from the stop in hour h — DISTINCT
+  *    trips by default, or stop VISITS (stop_times rows) with
+  *    `countVisits = true`, which is gtfs_kit's exact counting (reference
+  *    `_load_trips` via compute_stop_time_series);
   *  - `directions_at_{h}`: set of distinct trip headsigns per stop and hour
   *    (reference `_load_directions` pivot with aggfunc=set) — emitted as a
   *    sorted comma-joined string so it is orderable and oracle-comparable;
@@ -77,9 +79,11 @@ object Gtfs {
         case r if r.isNullAt(0) => None
         case r => Some(r.getString(0))
       }
+    // gtfs_kit feed.get_dates() spans ALL calendar_dates rows regardless of
+    // exception_type — a type-2 (removed) exception predating every calendar
+    // range still marks a feed date and shifts the first week
     val starts = minOf(calendar, "start_date") ++
-      calendarDates.flatMap(cd =>
-        minOf(cd.where(col("exception_type") === 1), "date"))
+      calendarDates.flatMap(cd => minOf(cd, "date"))
     require(starts.nonEmpty, "GTFS feed has no service dates")
     val d = java.time.LocalDate.parse(starts.min, fmt)
     val monday = d.plusDays((8 - d.getDayOfWeek.getValue) % 7)
@@ -94,11 +98,18 @@ object Gtfs {
     *                   (gtfs_loader.py:103-106). Trips need a `service_id`
     *                   column then.
     * @param calendarDates optional exception table (service_id, date,
-    *                   exception_type 1=add / 2=remove). */
+    *                   exception_type 1=add / 2=remove).
+    * @param countVisits `trips_at_h` semantics: false (default) counts
+    *                   DISTINCT trips departing the stop in hour h; true
+    *                   counts stop_times ROWS — gtfs_kit's stop time series
+    *                   counts VISITS, so a trip looping through a stop twice
+    *                   in an hour counts twice (reference parity mode,
+    *                   gtfs_loader.py:89-143 via compute_stop_time_series). */
   def transform(stopTimes: DataFrame, trips: DataFrame, stops: DataFrame,
                 calendar: Option[DataFrame] = None,
                 calendarDates: Option[DataFrame] = None,
-                date: Option[String] = None): DataFrame = {
+                date: Option[String] = None,
+                countVisits: Boolean = false): DataFrame = {
     val activeTrips = calendar match {
       case None => trips
       case Some(cal) =>
@@ -112,9 +123,13 @@ object Gtfs {
       .withColumn("hour", departureHour(col("departure_time")))
 
     // heavy pass: one row per (stop, hour); the lone distinct group plans
-    // Expand-free (partial agg on (stop_id, hour, trip_id) → merge)
+    // Expand-free (partial agg on (stop_id, hour, trip_id) → merge); the
+    // visit-count mode is a plain count — no distinct exchange at all
+    val tripCount =
+      if (countVisits) count(lit(1)).cast("long")
+      else count_distinct(col("trip_id")).cast("long")
     val perHour = joined.groupBy("stop_id", "hour").agg(
-      count_distinct(col("trip_id")).cast("long").as("n_trips"),
+      tripCount.as("n_trips"),
       sort_array(collect_set(col("trip_headsign"))).as("dirs"))
 
     // light pass: ≤24 rows per stop folded into the fixed wide layout

@@ -53,12 +53,33 @@ import graft.functions.Gf
   *                    anyway. Schema validation is always eager (free).
   */
 object IntersectionJoiner {
+
+  /** Auto-level joiner: the S2 index level is derived from the REGION set
+    * at transform time via [[suggestLevel]] (cellLevel = None mode). Use
+    * when region extents are not known up front — city blocks want level
+    * ~13-14, country-scale polygons ~5, continents ~2, and a fixed default
+    * mis-sizes two of the three. */
+  def auto(pointFeatures: Boolean = false,
+           broadcastRegions: Option[Boolean] = None,
+           salt: Int = 0, strict: Boolean = false,
+           boxFeatures: Option[Double] = None,
+           targetCells: Int = 4): IntersectionJoiner =
+    new IntersectionJoiner(12, pointFeatures, broadcastRegions, salt, strict,
+      boxFeatures) {
+      override protected def resolveLevel(regions: org.apache.spark.sql.DataFrame): Int =
+        suggestLevel(regions, targetCells = targetCells)
+    }
+
   /** Suggest an S2 index level so a typical region covers ≈ `targetCells`
     * cells: sample region envelopes and size the cell edge to
     * extent / sqrt(targetCells). The right level balances cover-explosion
     * (too fine → huge exploded build side) against refine cost (too coarse
     * → every feature meets every region in the cell) — the dominant knob at
-    * 100-TB scale. */
+    * 100-TB scale. Measured on the 5×5 grid-region fixture (AutoLevelSpec):
+    * the suggested level keeps the per-region cover at ~`targetCells` cells
+    * while finer levels inflate the exploded build side geometrically and
+    * coarser ones funnel every region into a shared cell (all-pairs
+    * refine). */
   def suggestLevel(regions: org.apache.spark.sql.DataFrame,
                    sampleSize: Int = 256, targetCells: Int = 4): Int = {
     val rows = regions.select(Tables.Geometry).limit(sampleSize).collect()
@@ -85,6 +106,10 @@ class IntersectionJoiner(
   /** Both fast paths key each feature by its single center cell. */
   private val centerKeyed = pointFeatures || boxFeatures.isDefined
 
+  /** The index level for this transform — the fixed `cellLevel` here;
+    * [[IntersectionJoiner.auto]] overrides it to sample the region set. */
+  protected def resolveLevel(regions: DataFrame): Int = cellLevel
+
   import Tables._
 
   def transform(regions: DataFrame, features: DataFrame,
@@ -92,11 +117,12 @@ class IntersectionJoiner(
     validate(regions, "regions")
     validate(features, "features")
 
+    val level = resolveLevel(regions)
     val rGeom = col("r_geom"); val fGeom = col("f_geom")
 
     val regionCover = boxFeatures match {
-      case Some(h) => Gf.s2CoverExpanded(rGeom, cellLevel, h)
-      case None => Gf.s2Cover(rGeom, cellLevel)
+      case Some(h) => Gf.s2CoverExpanded(rGeom, level, h)
+      case None => Gf.s2Cover(rGeom, level)
     }
     var regionCells = regions
       .select(col(RegionsIndex), col(Geometry).as("r_geom"))
@@ -104,8 +130,8 @@ class IntersectionJoiner(
     val featureCell: Column =
       if (centerKeyed)
         Gf.s2Cell(call_function("st_centroid_x", fGeom),
-          call_function("st_centroid_y", fGeom), cellLevel)
-      else explode(Gf.s2Cover(fGeom, cellLevel))
+          call_function("st_centroid_y", fGeom), level)
+      else explode(Gf.s2Cover(fGeom, level))
     var featureCells = features
       .select(col(FeaturesIndex), col(Geometry).as("f_geom"))
       .withColumn("cell", featureCell)

@@ -74,6 +74,7 @@ object Streams {
       }
 
   case class SessEvent(user_id: Long, tsMs: Long, event_id: Long)
+  case class SessEventTs(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessState(sessionSeq: Long, lastTsMs: Long, nEvents: Long,
                        startTsMs: Long)
   case class SessionRow(user_id: Long, session_seq: Long,
@@ -84,7 +85,9 @@ object Streams {
     * key holds one small state record; a processing-time timeout flushes the
     * open session. Per-batch events are sorted within the group (bounded:
     * one user's per-batch slice), so results match the batch window exactly
-    * when events arrive in order. */
+    * when events arrive in order — for out-of-order arrival use
+    * [[sessionizeEventTime]], which converges to the batch answer under any
+    * within-watermark reordering. */
   def sessionize(events: Dataset[SessEvent],
                  gapMs: Long = 1800000L): Dataset[SessionRow] = {
     import events.sparkSession.implicits._
@@ -118,5 +121,88 @@ object Streams {
             closed.reverseIterator
           }
       }
+  }
+
+  /** One contiguous run of events: no internal gap > gapMs. Fragments of a
+    * user are kept DISJOINT (any two are > gapMs apart), sorted by start. */
+  case class SessFrag(startMs: Long, endMs: Long, nEvents: Long)
+  case class FragState(frags: List[SessFrag], emitted: Long)
+
+  /** Merge new event times into a disjoint fragment list: each event either
+    * lands inside/extends a fragment or starts a new one, and a late event
+    * BRIDGING two fragments fuses them — the operation that makes
+    * out-of-order arrival converge to the batch answer. O(|frags|+|events|)
+    * via a sorted sweep; fragment count per key is bounded by the
+    * watermark delay / gap ratio (older fragments flush). */
+  private[graft] def mergeEvents(frags: List[SessFrag], times: Seq[Long],
+                                     gapMs: Long): List[SessFrag] = {
+    val pts = (frags.map(f => (f.startMs, f)) ++ times.map(t => (t, SessFrag(t, t, 1))))
+      .sortBy { case (s, f) => (s, f.endMs) }.map(_._2)
+    pts.foldLeft(List.empty[SessFrag]) { (acc, f) =>
+      acc match {
+        case h :: t if f.startMs - h.endMs <= gapMs =>
+          SessFrag(h.startMs, math.max(h.endMs, f.endMs), h.nEvents + f.nEvents) :: t
+        case _ => f :: acc
+      }
+    }.reverse
+  }
+
+  /** Split fragments into (closed, still open) under `watermarkMs`: a
+    * fragment is CLOSED once no admissible event (ts ≥ watermark) could
+    * extend or bridge it, i.e. its end is more than the gap below the
+    * watermark. */
+  private[graft] def flushFrags(frags: List[SessFrag], watermarkMs: Long,
+      gapMs: Long): (List[SessFrag], List[SessFrag]) =
+    frags.partition(f => f.endMs + gapMs < watermarkMs)
+
+  /** The flatMapGroupsWithState transition for [[sessionizeEventTime]],
+    * exposed for direct spec-driving with
+    * `org.apache.spark.sql.streaming.TestGroupState` (this host's state-
+    * store maintenance never drains a stateful streaming query, so specs
+    * exercise the exact function the engine would call, batch by batch,
+    * with a controlled watermark). */
+  def sessionizeEventTimeFunc(gapMs: Long)(
+      user: Long, it: Iterator[SessEventTs],
+      state: GroupState[FragState]): Iterator[SessionRow] = {
+    val st = state.getOption.getOrElse(FragState(Nil, 0L))
+    val wm = state.getCurrentWatermarkMs()
+    val merged =
+      if (state.hasTimedOut) st.frags
+      else mergeEvents(st.frags, it.map(_.ts.getTime).toSeq, gapMs)
+    val (closed, open) = flushFrags(merged, wm, gapMs)
+    // disjoint fragments close in start order, so the emitted sequence
+    // number matches the batch q09 session_seq
+    val out = closed.zipWithIndex.map { case (f, i) =>
+      SessionRow(user, st.emitted + i + 1, f.startMs, f.nEvents)
+    }
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(FragState(open, st.emitted + closed.length))
+      // earliest moment the oldest open fragment could close
+      state.setTimeoutTimestamp(math.max(open.head.endMs + gapMs + 1, wm + 1))
+    }
+    out.iterator
+  }
+
+  /** Event-time sessionization: same 30-minute-gap session semantics as
+    * [[sessionize]], but correct under OUT-OF-ORDER arrival across
+    * micro-batches. Per-user state holds disjoint session FRAGMENTS; a late
+    * event (within the watermark delay) extends, prepends or BRIDGES
+    * fragments, and a fragment is emitted only once the event-time
+    * watermark passes its end by the gap — from then on no admissible event
+    * can change it, so the emitted session set equals the batch q09 answer
+    * for any arrival order the watermark admits. Events later than the
+    * watermark delay are dropped by the engine (the standard watermark
+    * contract; widen `delayThreshold` to tolerate more disorder at the cost
+    * of emission latency and per-key state). */
+  def sessionizeEventTime(events: Dataset[SessEventTs],
+                          gapMs: Long = 1800000L,
+                          delayThreshold: String = "2 hours"): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delayThreshold)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FragState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionizeEventTimeFunc(gapMs))
   }
 }

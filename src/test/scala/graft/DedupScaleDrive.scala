@@ -76,6 +76,16 @@ object DedupScaleDrive {
     run("cosine_neardup") {
       graft.operators.Similarity.cosineNearDupPairs(vecs, 0.95).count()
     }
+    // ANN probes over the replicated corpus: 200 fixed queries against the
+    // M×-grown corpus — per-query work grows linearly in corpus size for
+    // brute force, sub-linearly for the LSH buckets
+    val queries = emb.where(col("vec_id") % 25 === 0).limit(200)
+    run("ann_brute_topk") {
+      graft.operators.Similarity.bruteForceTopK(vecs, queries, 10).count()
+    }
+    run("ann_lsh_topk") {
+      graft.operators.Similarity.lshTopK(vecs, queries, 10).count()
+    }
     spark.stop()
   }
 }

@@ -79,4 +79,29 @@ class GtfsCalendarSpec extends AnyFunSuite {
     val all = Gtfs.transform(stopTimes, trips, stops).collect()(0)
     assert(all.getAs[Long]("trips_at_8") === 3L)
   }
+
+  test("a type-2 (removed) exception predating every calendar range still " +
+       "shifts the feed's first Wednesday (gtfs_kit get_dates parity)") {
+    // 2023-12-20 is a Wednesday; exception_type 2 — gtfs_kit still counts
+    // the date, so first week starts Mon 2023-12-25 → Wed 2023-12-27
+    val removedEarly = Seq(("svc_x", "20231220", 2))
+      .toDF("service_id", "date", "exception_type")
+    assert(Gtfs.firstWednesday(calendar, Some(removedEarly)) === "20231227")
+  }
+
+  test("countVisits: a trip looping a stop twice in one hour counts twice") {
+    // t1 visits s1 at 08:10 and again 08:40 (a loop route); t2 once
+    val looped = Seq(
+      ("t1", "s1", "08:10:00"), ("t1", "s1", "08:40:00"),
+      ("t2", "s1", "08:20:00"))
+      .toDF("trip_id", "stop_id", "departure_time")
+    val distinctMode = Gtfs.transform(looped, trips, stops).collect()(0)
+    assert(distinctMode.getAs[Long]("trips_at_8") === 2L) // t1, t2 distinct
+    val visitMode = Gtfs.transform(looped, trips, stops,
+      countVisits = true).collect()(0)
+    assert(visitMode.getAs[Long]("trips_at_8") === 3L) // 3 stop_times rows
+    // headsign sets are unaffected by the counting mode
+    assert(visitMode.getAs[String]("directions_at_8") ===
+      distinctMode.getAs[String]("directions_at_8"))
+  }
 }

@@ -114,6 +114,33 @@ class SpatialSplitSpec extends AnyFunSuite {
     assert(out.select("point_id", "split").exceptAll(
       out2.select("point_id", "split")).count() === 0)
   }
+
+  test("bucketedStats == global ntile, with NO partition-less window in the plan") {
+    import spark.implicits._
+    // skewed counts with heavy ties — the case where rank alignment across
+    // range partitions must be exact
+    val stats = (0 until 500).map(i => (i.toLong, (i % 7).toLong * (i % 3)))
+      .toDF("cell", "n")
+    val splitter = new SpatialSplit(parentCellLevel = 4, nBins = 4)
+    val got = splitter.bucketedStats(stats)
+    val want = stats.withColumn("bucket",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n"), col("cell"))))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // fewer rows than bins
+    val tiny = (0 until 3).map(i => (i.toLong, i.toLong)).toDF("cell", "n")
+    val gotTiny = splitter.bucketedStats(tiny).orderBy("cell").collect()
+    assert(gotTiny.map(_.getInt(2)).toSeq === Seq(1, 2, 3))
+    // the plan's windows are all partitioned (no single-task global sort);
+    // inspect the optimized logical plan — AQE hides the physical one
+    val wins = got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "global (partition-less) window found in SpatialSplit plan")
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {

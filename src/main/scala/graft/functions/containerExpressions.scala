@@ -332,6 +332,11 @@ case class AviMjpegEncode(first: Expression, second: Expression,
   override def nullSafeEval(frames: Any, w: Any, h: Any, fps: Any): Any = {
     val arr = frames.asInstanceOf[ArrayData]
     val fs = Array.tabulate(arr.numElements())(arr.getBinary)
+    // nullIntolerant guards only the top-level array — a null ELEMENT must
+    // fail with a clear message, not an NPE inside the chunk writer
+    val bad = fs.indexWhere(_ == null)
+    if (bad >= 0) throw new IllegalArgumentException(
+      s"avi_mjpeg_encode: null frame at index $bad")
     RiffOps.aviMjpegEncode(fs, w.asInstanceOf[Int], h.asInstanceOf[Int],
       fps.asInstanceOf[Int])
   }

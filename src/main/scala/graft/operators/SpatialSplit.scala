@@ -51,7 +51,11 @@ class SpatialSplit(
   private val RangeParts = 32
 
   private[graft] def bucketedStats(stats: DataFrame): DataFrame = {
-    val base = stats.select(col("cell"), col("n"))
+    // three actions follow (edges, range counts, the caller's collect) —
+    // materialize the tiny (cell, n) projection once instead of re-running
+    // the upstream per-cell aggregation per action (localCheckpoint is
+    // eager and self-freeing via the ContextCleaner)
+    val base = stats.select(col("cell"), col("n")).localCheckpoint(true)
     val ps = (1 until RangeParts).map(_.toDouble / RangeParts)
     val edgesRow = base
       .agg(expr(s"percentile(n, array(${ps.mkString(",")}))")).collect()(0)

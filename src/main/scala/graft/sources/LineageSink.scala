@@ -163,20 +163,34 @@ object LineageSink {
     val horizon = staleMs(spark)
     val pending = new Path(pendingDir(dir))
     if (fs.exists(pending)) {
-      def markerLines(p: Path): List[String] = {
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      }
-      // a marker's liveness is its owning ATTEMPT's lease (header line);
-      // legacy/injected markers without a header have no lease → dead
-      def markerLive(p: Path): Boolean =
-        markerLines(p).headOption.collect {
+      // a concurrent recover() may delete a dead marker between our listing
+      // and the read — a vanished marker is simply someone else's finished
+      // work, never an error
+      def markerLines(p: Path): Option[List[String]] =
+        try {
+          val in = fs.open(p)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList)
+          finally in.close()
+        } catch { case _: java.io.IOException => None }
+      def attemptOf(lines: List[String]): Option[String] =
+        lines.headOption.collect {
           case h if h.startsWith("#attempt=") => h.stripPrefix("#attempt=")
-        }.exists(a => leaseLive(fs, dir, a, horizon))
-      val markers = fs.listStatus(pending).map(_.getPath)
-        .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-        .filterNot(markerLive)
+        }
+      // a marker's liveness is its owning ATTEMPT's lease (header line). A
+      // HEADERLESS marker is either mid-creation (created-but-not-closed by
+      // a live committer — exclusive create makes the empty file visible
+      // before the content lands) or a dead legacy marker: age decides.
+      def markerLive(p: Path, st: FileStatus, lines: List[String]): Boolean =
+        attemptOf(lines) match {
+          case Some(a) => leaseLive(fs, dir, a, horizon)
+          case None =>
+            System.currentTimeMillis() - st.getModificationTime < horizon
+        }
+      val markers = fs.listStatus(pending)
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .flatMap(s => markerLines(s.getPath).map(ls => (s.getPath, s, ls)))
+        .filterNot { case (p, st, ls) => markerLive(p, st, ls) }
       if (markers.nonEmpty) {
         val m = manifest(spark, dir)
         // O(markers) driver state: only the MARKED jobs' manifest rows are
@@ -186,28 +200,41 @@ object LineageSink {
         // concurrent committers with one jobId: the loser's marker lists
         // different part-file names than the winner registered — those
         // must be deleted, or the loser's half-moved files would linger as
-        // duplicate rows).
-        val markerIds = markers.map(_.getName).toSeq
-        val committedFiles: Map[String, Set[String]] =
+        // duplicate rows). Legacy manifests without a file registry roll
+        // forward whole (no diff possible — never delete a committed
+        // job's data on a guess).
+        val markerIds = markers.map(_._1.getName).toSeq
+        val hasRegistry = m.columns.contains("files")
+        val committedJobs: Set[String] =
           if (m.columns.contains("job_id"))
+            m.where(col("job_id").isin(markerIds: _*))
+              .select("job_id").distinct().collect().map(_.getString(0)).toSet
+          else Set.empty
+        val committedFiles: Map[String, Set[String]] =
+          if (hasRegistry && m.columns.contains("job_id"))
             m.where(col("job_id").isin(markerIds: _*))
               .select(col("job_id"), explode(col("files")).as("f"))
               .collect()
               .groupBy(_.getString(0)).view
               .mapValues(_.map(_.getString(1)).toSet).toMap
           else Map.empty
-        for (marker <- markers) {
+        for ((marker, _, lines) <- markers) {
           val jobId = marker.getName
+          val committed = committedJobs.contains(jobId)
           val registered = committedFiles.getOrElse(jobId, Set.empty)
           // roll back every marker-listed path the manifest did not
-          // register (all of them when the job never committed)
-          val listed = markerLines(marker).filterNot(_.startsWith("#"))
-          listed.filter(p => p.nonEmpty && !registered(p)).foreach { p =>
-            val fp = new Path(p)
-            if (fs.exists(fp)) fs.delete(fp, false)
+          // register (all of them when the job never committed; none when
+          // it committed but the manifest predates the file registry)
+          if (!committed || hasRegistry) {
+            val listed = lines.filterNot(_.startsWith("#"))
+            listed.filter(p => p.nonEmpty && !registered(p)).foreach { p =>
+              val fp = new Path(p)
+              if (fs.exists(fp)) fs.delete(fp, false)
+            }
           }
           fs.delete(marker, false)
-          releaseLease(fs, dir, jobId)
+          // the lease is named by the owning ATTEMPT, not the job id
+          attemptOf(lines).foreach(a => releaseLease(fs, dir, a))
         }
       }
     }
@@ -255,6 +282,12 @@ object LineageSink {
     val parts = listFilesUnder(fs, tmp).filter(_.getName.endsWith(".parquet"))
     require(parts.size == 1, s"expected one manifest part file, got $parts")
     val target = new Path(s"${manifestDir(dir)}/commit-$jobId.parquet")
+    // defensive: rename-to-existing OVERWRITES on LocalFileSystem/S3A, so
+    // never rely on it failing — the marker re-check in stageAndCommit
+    // makes a duplicate commit unreachable, this guards the residual
+    // non-atomic-marker window loudly instead of clobbering the winner
+    require(!fs.exists(target),
+      s"manifest commit already exists: $target (duplicate jobId commit)")
     require(fs.rename(parts.head, target), s"manifest commit rename failed: $target")
     fs.delete(tmp, true)
   }
@@ -268,7 +301,7 @@ object LineageSink {
     * that slips through after the winner finished fails at the manifest
     * rename and is rolled back by [[recover]] via the marker-vs-registered
     * file diff. */
-  private def stageAndCommit(df: DataFrame, dir: String, bucketCol: String,
+  private[graft] def stageAndCommit(df: DataFrame, dir: String, bucketCol: String,
       jobId: String = java.util.UUID.randomUUID().toString): Unit = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, dir)
@@ -307,6 +340,22 @@ object LineageSink {
       try out.write((s"#attempt=$attempt\n" + perBucket.flatMap(_._5).mkString("\n"))
         .getBytes(StandardCharsets.UTF_8))
       finally out.close()
+
+      // holding the marker, re-check the manifest: a LATE second attempt of
+      // an already-committed job id acquires the marker only after the
+      // winner finished (deleted its marker AFTER landing its manifest
+      // row), so the row is visible now — abort before touching data/
+      // rather than trusting rename-to-existing to fail (it does not on
+      // LocalFileSystem or S3A)
+      val already = {
+        val m = manifest(spark, dir)
+        m.columns.contains("job_id") && !m.where(col("job_id") === jobId).isEmpty
+      }
+      if (already) {
+        fs.delete(pend, false)
+        fs.delete(staging, true)
+        return
+      }
 
       // phase 2: move staged files into the table
       for ((_, _, partDirName, files, _) <- perBucket) {
@@ -591,10 +640,44 @@ object LineageSink {
     val m = manifest(spark, dir)
     if (!m.columns.contains("files")) return 0
     val fs = fileSystem(spark, dir)
+    val horizon = staleMs(spark)
     import spark.implicits._
-    val listed = listFilesUnder(fs, new Path(dataDir(dir))).map(key).toDF("path")
+    // a LIVE writer between its file moves and its manifest landing has
+    // moved-but-unregistered files in data/ — never orphans. Two guards,
+    // mirroring Iceberg remove_orphan_files' retention: (a) every path
+    // named by a pending marker is in flight, (b) only files older than
+    // the stale horizon qualify at all (any live commit is younger)
+    val pend = new Path(pendingDir(dir))
+    val inFlight: Set[String] =
+      if (!fs.exists(pend)) Set.empty
+      else fs.listStatus(pend).filter(_.isFile).flatMap { s =>
+        try {
+          val in = fs.open(s.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filterNot(_.startsWith("#")).toList
+          finally in.close()
+        } catch { case _: java.io.IOException => Nil }
+      }.toSet
+    val now = System.currentTimeMillis()
+    val listed = {
+      val root = new Path(dataDir(dir))
+      if (!fs.exists(root)) Nil
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".") &&
+              now - f.getModificationTime > horizon &&
+              !inFlight(key(f.getPath))) out += key(f.getPath)
+        }
+        out.toSeq
+      }
+    }
+    if (listed.isEmpty) return 0
     val committed = m.select(explode(col("files")).as("path")).distinct()
-    val orphans = listed.join(committed, Seq("path"), "left_anti")
+    val orphans = listed.toDF("path").join(committed, Seq("path"), "left_anti")
       .collect().map(_.getString(0))
     orphans.foreach(p => fs.delete(new Path(p), false))
     orphans.length
@@ -620,7 +703,9 @@ object LineageSink {
     val pend = new Path(s"${pendingDir(dir)}/$jobId")
     fs.mkdirs(pend.getParent)
     val out = fs.create(pend, false)
-    try out.write(finals.map(f => key(f._2)).mkString("\n")
+    // header names a (never-leased) attempt so recovery treats the marker
+    // as a dead job immediately — a real crash leaves exactly this shape
+    try out.write((s"#attempt=$jobId\n" + finals.map(f => key(f._2)).mkString("\n"))
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     finals.take(math.max(1, finals.length / 2)).foreach { case (src, dst) =>

@@ -175,12 +175,15 @@ object Streams {
     val out = closed.zipWithIndex.map { case (f, i) =>
       SessionRow(user, st.emitted + i + 1, f.startMs, f.nEvents)
     }
-    if (open.isEmpty) state.remove()
-    else {
-      state.update(FragState(open, st.emitted + closed.length))
+    // the emitted count must SURVIVE idle periods — dropping state when no
+    // fragment is open would restart session_seq at 1 when the user
+    // returns, diverging from the batch numbering. One tiny record per
+    // ever-seen user stays resident (the same state any per-user running
+    // aggregate needs); no timeout is armed while nothing can close.
+    state.update(FragState(open, st.emitted + closed.length))
+    if (open.nonEmpty)
       // earliest moment the oldest open fragment could close
       state.setTimeoutTimestamp(math.max(open.head.endMs + gapMs + 1, wm + 1))
-    }
     out.iterator
   }
 

@@ -138,6 +138,18 @@ class ContainerSpec extends AnyFunSuite {
     }
   }
 
+  test("avi_mjpeg_encode rejects a null frame element with a clear message") {
+    import SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(
+      array(lit(Array[Byte](1, 2)), lit(null).cast("binary")).as("frames"))
+    val e = intercept[Exception](
+      df.select(call_function("avi_mjpeg_encode", col("frames"),
+        lit(2), lit(1), lit(1))).collect())
+    assert(e.getMessage.contains("null frame at index 1") ||
+      Option(e.getCause).exists(_.getMessage.contains("null frame at index 1")))
+  }
+
   test("media kernels guard degenerate parameters") {
     boom("window must be positive")(
       MediaOps.audioRmsWindows(MediaOps.synthPcm16(1L, 8), 0))

@@ -21,29 +21,32 @@ class LineageConcurrencySpec extends AnyFunSuite {
     // a committed base so recover has a manifest to consult
     LineageSink.write(slice(0, 30, "base"), dir, "bucket")
 
-    // fabricate an IN-FLIGHT job: fresh lease + staging dir + marker
+    // fabricate an IN-FLIGHT job exactly as stageAndCommit lays it out:
+    // the marker is named by JOB, the lease and staging dir by ATTEMPT
     val job = "inflight-job"
+    val attempt = s"$job--attempt-1"
     new java.io.File(s"$dir/leases").mkdirs()
-    new java.io.File(s"$dir/leases/$job").createNewFile()
-    val stg = new java.io.File(s"$dir/staging/$job/bucket=x0")
+    new java.io.File(s"$dir/leases/$attempt").createNewFile()
+    val stg = new java.io.File(s"$dir/staging/$attempt/bucket=x0")
     stg.mkdirs()
     java.nio.file.Files.write(stg.toPath.resolve("part-0.parquet"), Array[Byte](1))
     new java.io.File(s"$dir/pending").mkdirs()
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/pending/$job"),
-      s"#attempt=$job\n$dir/data/bucket=x0/part-0.parquet".getBytes("UTF-8"))
+      s"#attempt=$attempt\n$dir/data/bucket=x0/part-0.parquet".getBytes("UTF-8"))
 
     LineageSink.recover(spark, dir) // default 10-min horizon: job is LIVE
-    assert(new java.io.File(s"$dir/staging/$job").exists(), "live staging swept")
+    assert(new java.io.File(s"$dir/staging/$attempt").exists(), "live staging swept")
     assert(new java.io.File(s"$dir/pending/$job").exists(), "live marker swept")
 
-    // horizon 0: every lease is instantly stale → the dead job is reaped
+    // horizon 0: every lease is instantly stale → the dead job is reaped,
+    // including the ATTEMPT-named lease the marker points at
     spark.conf.set("graft.lineage.staleMs", "0")
     try {
       LineageSink.recover(spark, dir)
-      assert(!new java.io.File(s"$dir/staging/$job").exists(), "dead staging kept")
+      assert(!new java.io.File(s"$dir/staging/$attempt").exists(), "dead staging kept")
       assert(!new java.io.File(s"$dir/pending/$job").exists(), "dead marker kept")
-      assert(!new java.io.File(s"$dir/leases/$job").exists(), "dead lease kept")
+      assert(!new java.io.File(s"$dir/leases/$attempt").exists(), "dead lease kept")
     } finally spark.conf.unset("graft.lineage.staleMs")
     // the base commit was never disturbed
     assert(spark.read.parquet(s"$dir/data").count() === 30)
@@ -101,6 +104,41 @@ class LineageConcurrencySpec extends AnyFunSuite {
     // a replay of the same batch id is a no-op
     LineageSink.writeBatch(df, dir, "bucket", "batch-7")
     assert(spark.read.parquet(s"$dir/data").count() === 60)
+  }
+
+  test("LATE duplicate-jobId loser aborts at the marker re-check (no clobber)") {
+    val dir = java.nio.file.Files.createTempDirectory("lineage-late").toString
+    val df = slice(0, 60, "l")
+    LineageSink.writeBatch(df, dir, "bucket", "batch-9") // winner commits fully
+    val before = spark.read.parquet(s"$dir/data").count()
+    // a late second attempt that slipped past the manifest pre-check (the
+    // race writeBatch's check cannot close): call the commit path directly.
+    // It must re-check under the marker and abort WITHOUT touching data/
+    // or the winner's manifest commit file.
+    LineageSink.stageAndCommit(df, dir, "bucket", "batch-9")
+    assert(spark.read.parquet(s"$dir/data").count() === before)
+    assert(spark.read.parquet(s"$dir/data").select("id").distinct().count() === 60)
+    assert(LineageSink.manifest(spark, dir)
+      .where(col("job_id") === "batch-9").count() === 3) // one row per bucket, once
+    assert(!new java.io.File(s"$dir/pending/batch-9").exists(), "marker left behind")
+    assert(new java.io.File(s"$dir/staging").listFiles() == null ||
+      new java.io.File(s"$dir/staging").listFiles().isEmpty, "staging left behind")
+  }
+
+  test("a headerless (mid-write) marker is not reaped until stale") {
+    val dir = java.nio.file.Files.createTempDirectory("lineage-midwrite").toString
+    LineageSink.write(slice(0, 30, "m"), dir, "bucket")
+    // an exclusive-create marker is visible EMPTY before its content lands
+    new java.io.File(s"$dir/pending").mkdirs()
+    val marker = new java.io.File(s"$dir/pending/some-job")
+    marker.createNewFile()
+    LineageSink.recover(spark, dir) // fresh + headerless → possibly mid-write
+    assert(marker.exists(), "mid-write marker swept")
+    spark.conf.set("graft.lineage.staleMs", "0")
+    try {
+      LineageSink.recover(spark, dir) // stale + headerless → dead legacy
+      assert(!marker.exists(), "stale headerless marker kept")
+    } finally spark.conf.unset("graft.lineage.staleMs")
   }
 
   test("compaction concurrent with writers loses nothing") {

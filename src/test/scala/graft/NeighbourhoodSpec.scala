@@ -171,11 +171,18 @@ class LineageSinkSpec extends AnyFunSuite {
     val victim = bucketDir.listFiles().find(_.getName.endsWith(".parquet")).get
     val foreign = new java.io.File(bucketDir, "part-foreign.parquet")
     java.nio.file.Files.copy(victim.toPath, foreign.toPath)
-    assert(LineageSink.cleanOrphans(spark, dir) === 1)
-    assert(!foreign.exists())
-    assert(spark.read.parquet(s"$dir/data").count() === 100)
-    // idempotent: committed files are never misidentified as orphans
+    // default retention: a file younger than the stale horizon is NEVER an
+    // orphan (it could be a live writer's in-flight move)
     assert(LineageSink.cleanOrphans(spark, dir) === 0)
+    assert(foreign.exists())
+    spark.conf.set("graft.lineage.staleMs", "0")
+    try {
+      assert(LineageSink.cleanOrphans(spark, dir) === 1)
+      assert(!foreign.exists())
+      assert(spark.read.parquet(s"$dir/data").count() === 100)
+      // idempotent: committed files are never misidentified as orphans
+      assert(LineageSink.cleanOrphans(spark, dir) === 0)
+    } finally spark.conf.unset("graft.lineage.staleMs")
   }
 
   test("bucket values that URI-escape round-trip (manifest keys == disk paths)") {

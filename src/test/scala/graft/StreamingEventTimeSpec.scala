@@ -82,6 +82,7 @@ class StreamingEventTimeSpec extends AnyFunSuite {
         state(user) = ts.get
         if (ts.getTimeoutTimestampMs.isPresent)
           timeouts(user) = ts.getTimeoutTimestampMs.get()
+        else timeouts.remove(user)
       }
     }
 
@@ -118,7 +119,30 @@ class StreamingEventTimeSpec extends AnyFunSuite {
 
     assert(emitted.size === emitted.toSet.size, "duplicate session emissions")
     assert(emitted.toSet === batchTruth)
-    assert(state.isEmpty, "state left open after final flush")
+    // per-user records persist (they carry the emitted counter across idle
+    // periods) but no fragment may remain open after the final flush
+    assert(state.values.forall(_.frags.isEmpty), "fragment left open")
+  }
+
+  test("session_seq survives an idle gap (state persists between sessions)") {
+    var st: Option[FragState] = None
+    val emitted = scala.collection.mutable.ArrayBuffer[SessionRow]()
+    def step(times: Seq[Long], wm: Long): Unit = {
+      val ts = TestGroupState.create[FragState](
+        st.map(Optional.of[FragState]).getOrElse(Optional.empty()),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        Optional.of(java.lang.Long.valueOf(wm)), false)
+      emitted ++= Streams.sessionizeEventTimeFunc(Gap)(1L,
+        times.map(t => SessEventTs(1L, new java.sql.Timestamp(t), t)).iterator, ts)
+      st = if (ts.exists) Some(ts.get) else None
+    }
+    step(Seq(0L, 60000L), 0L) // session A opens
+    step(Nil, 10000000L) // watermark far past A: A closes (seq 1)
+    assert(emitted.map(_.session_seq).toList === List(1L))
+    assert(st.exists(_.frags.isEmpty), "emitted counter must survive idleness")
+    step(Seq(20000000L), 10000000L) // user returns after the idle gap
+    step(Nil, 40000000L) // session B closes — seq continues at 2
+    assert(emitted.map(_.session_seq).toList === List(1L, 2L))
   }
 
   test("in-order replay emits each session exactly once, incrementally") {

@@ -88,28 +88,47 @@ object Similarity {
     * verification. Identical directions always collide (sign pattern equal),
     * so exact-dup recall is 1.0 by construction.
     *
-    * Scale shape: bucket join on (t, sig, id) — 28 bytes/row; vectors joined
-    * back once per unique candidate pair (not ×tables). */
+    * Scale shape: bucket join on (t, sig, id, sigs) — the full per-table
+    * signature vector rides the shuffle (8·tables extra bytes/row) so each
+    * pair can be emitted from the FIRST table whose signatures agree and
+    * only there: exactly-once by construction, which deletes the pair
+    * dropDuplicates exchange entirely (on a clustered corpus — boilerplate
+    * embeddings, the realistic web-scale case — the candidate set itself is
+    * the dominant volume, and a whole extra exchange of it is pure waste:
+    * the round-4 CosProbe measured the full op at 16.1 s before / 5-7 s
+    * after on a 15.8M-candidate corpus at local[8]). Vectors are joined
+    * back once per candidate. With `maxBucketSize` capping, a pair whose
+    * EARLIEST shared bucket was dropped is not recovered through a later
+    * table — the same documented recall trade-off the cap already is. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          planes: Int = 16, tables: Int = 4,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          maxBucketSize: Int = 10000): DataFrame = {
-    val sigs = (0 until tables).map(t =>
-      (t, (c: org.apache.spark.sql.Column) => Gf.hyperplaneSig(c, planes, 2000L + t)))
     val ids = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sigArr = array((0 until tables).map(t =>
+      Gf.hyperplaneSig(col("v"), planes, 2000L + t)): _*)
     // oversized buckets (zero/duplicate vectors all share a signature)
     // would square in the self-join — same explicit cap as Dedup
     val banded = Dedup.capBuckets(ids
-      .select(col("id"),
-        explode(array(sigs.map { case (t, f) =>
-          struct(lit(t).as("t"), f(col("v")).as("sig")) }: _*)).as("b"))
-      .select(col("id"), col("b.t").as("t"), col("b.sig").as("sig")),
+      .select(col("id"), sigArr.as("sigs"))
+      .select(col("id"), col("sigs"), posexplode(col("sigs")))
+      .select(col("id"), col("sigs"), col("pos").as("t"), col("col").as("sig")),
       Seq("t", "sig"), maxBucketSize)
-    val a = banded.select(col("t"), col("sig"), col("id").as("id_a"))
-    val b = banded.select(col("t"), col("sig"), col("id").as("id_b"))
+    val a = banded.select(col("t"), col("sig"), col("id").as("id_a"),
+      col("sigs").as("sigs_a"))
+    val b = banded.select(col("t"), col("sig"), col("id").as("id_b"),
+      col("sigs").as("sigs_b"))
+    // literal-index OR chain, NOT slice/zip_with/exists: higher-order
+    // functions evaluate interpreted per row — measured 15.4 s vs 1.45 s
+    // for this filter over a 15.8M-row candidate join (CosProbe, round 4)
+    val earlierMatch =
+      if (tables <= 1) lit(false)
+      else (0 until tables - 1).map(tp =>
+        col("t") > tp && col("sigs_a")(tp) === col("sigs_b")(tp))
+        .reduce(_ || _)
     val candidates = a.join(b, Seq("t", "sig"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .where(col("id_a") < col("id_b") && !earlierMatch)
+      .select("id_a", "id_b")
     candidates
       .join(ids.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(ids.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))

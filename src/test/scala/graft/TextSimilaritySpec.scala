@@ -76,6 +76,25 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("cosineNearDupPairs: first-collision-wins emits each pair once, NO dedup exchange") {
+    // two exact dups (collide in every table) + decoys; exactly-once must
+    // come from the plan, not a dropDuplicates
+    val vecs = ((0 until 40).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 16 + d + 1)))) ++
+      Seq((100L, Array.tabulate(16)(d => math.cos(d + 1.0))),
+          (101L, Array.tabulate(16)(d => math.cos(d + 1.0)))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupPairs(vecs, 0.999)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.count(p => p == ((100L, 101L))) === 1,
+      "exact-dup pair must be emitted exactly once across the 4 tables")
+    // plan shape: no Deduplicate node anywhere (the round-4 rewrite)
+    val dedups = out.queryExecution.optimizedPlan.collect {
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+    }
+    assert(dedups.isEmpty, "pair dedup exchange crept back into the plan")
+  }
+
   test("hyperplane signature is scale-invariant (identical directions collide)") {
     val sig = emb.select(col("vec_id"),
       graft.functions.Gf.hyperplaneSig(col("embedding"), 16, 42L).as("s1"),

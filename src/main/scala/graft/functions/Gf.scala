@@ -67,6 +67,7 @@ object Gf {
     "h3_local_ij_try" -> (e => H3LocalIjTryExpr(e(0), e(1))),
     "vec_cosine" -> (e => VecCosine(e(0), e(1))),
     "simhash64" -> (e => SimHash64(e(0))),
+    "word_shingles" -> (e => WordShingles(e(0), e(1))),
     "minhash_sig" -> (e => MinhashSig(e(0), e(1))),
     "hyperplane_sig" -> (e => HyperplaneSig(e(0), e(1), e(2))),
     "h3_latlng" -> (e => H3LatLng(e(0))),
@@ -175,6 +176,8 @@ object Gf {
 
   def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+  def wordShingles(text: Column, k: Int): Column =
+    call_function("word_shingles", text, lit(k))
   def minhashSig(shingles: Column, numHashes: Int): Column =
     call_function("minhash_sig", shingles, lit(numHashes))
   def hyperplaneSig(v: Column, planes: Int, seed: Long): Column =

@@ -22,6 +22,60 @@ object VecTextOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Word k-gram shingles (distinct, first-occurrence order) in ONE pass —
+    * value-identical to the declarative form
+    * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+    * slice(regexp_extract_all(text, '\\S+'), i+1, k))))` but ~10× cheaper:
+    * higher-order functions evaluate interpreted per ELEMENT (the round-4
+    * CosProbe measured 15.4 s vs 1.45 s for an equivalent predicate), and
+    * this projection runs per corpus row in every near-dup path.
+    * Tokenization splits on exactly Java regex `\s` = the six ASCII
+    * whitespace chars, matching the `\S+` extraction on both engines; a
+    * text with fewer than k tokens yields ONE shingle of all its tokens
+    * (the empty string for an empty text), matching the declarative
+    * fallback branch. */
+  def wordShingles(text: org.apache.spark.unsafe.types.UTF8String,
+                   k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(k > 0, s"word_shingles: k must be positive, got $k")
+    val s = text.toString
+    val n = s.length
+    def ws(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < n) {
+      while (i < n && ws(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !ws(s.charAt(i))) i += 1
+      if (i > start) toks += s.substring(start, i)
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length < k) out.add(toks.mkString(" "))
+    else {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j + k <= toks.length) {
+        sb.setLength(0)
+        var q = 0
+        while (q < k) {
+          if (q > 0) sb.append(' ')
+          sb.append(toks(j + q))
+          q += 1
+        }
+        out.add(sb.toString)
+        j += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) {
+      arr(p) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
   /** FNV-1a 64-bit — stable, dependency-free hash for tokens/planes. */
   def fnv64(s: String): Long = {
     var h = 0xcbf29ce484222325L

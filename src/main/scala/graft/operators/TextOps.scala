@@ -22,8 +22,19 @@ object TextOps {
   def nDistinctTokensSql(text: String): String =
     s"CAST(len(list_distinct(${tokensSql(text)})) AS INT)"
 
-  /** Word k-gram shingles (distinct), the MinHash input. */
-  def shingles(text: Column, k: Int): Column = {
+  /** Word k-gram shingles (distinct), the MinHash input. One codegen'd
+    * kernel pass ([[graft.functions.VecTextOps.wordShingles]]) — the
+    * declarative transform/slice/concat_ws chain evaluates INTERPRETED per
+    * shingle (higher-order functions never enter codegen) and this
+    * projection runs once per corpus row in every near-dup path. The SQL
+    * mirror for oracles stays the declarative formula; values are
+    * identical (same `\S+` tokenization, `< k` fallback, first-occurrence
+    * distinct order — kernel-vs-formula equality is spec-pinned). */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.Gf.wordShingles(text, k)
+
+  /** The declarative shingle formula (the kernel's spec + oracle mirror). */
+  def shinglesDeclarative(text: Column, k: Int): Column = {
     val t = tokens(text)
     array_distinct(
       when(size(t) < k, array(concat_ws(" ", t)))

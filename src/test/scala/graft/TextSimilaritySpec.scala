@@ -76,6 +76,28 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("word_shingles kernel == declarative transform/slice formula") {
+    // tricky shapes: empty text, pure whitespace, < k tokens, duplicate
+    // shingles, every ASCII whitespace separator, NBSP (must NOT split —
+    // regex \s is ASCII), k = 1
+    val texts = Seq(
+      "", "   ", "\t\n\f\r", "one", "one two",
+      "a b c d e f g", "x x x x x x", "a  b\tc\nde\ff\rg",
+      "café naïve", "nb sp stays one token",
+      "the quick brown fox jumps over the lazy dog the quick brown fox")
+    for (k <- Seq(1, 3, 5)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "text")
+      val got = df.select(col("i"), TextOps.shingles(col("text"), k).as("s"))
+        .orderBy("i").collect().map(_.getSeq[String](1))
+      val want = df.select(col("i"),
+          TextOps.shinglesDeclarative(col("text"), k).as("s"))
+        .orderBy("i").collect().map(_.getSeq[String](1))
+      (got zip want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g === w, s"k=$k text='${texts(i)}'")
+      }
+    }
+  }
+
   test("cosineNearDupPairs: first-collision-wins emits each pair once, NO dedup exchange") {
     // two exact dups (collide in every table) + decoys; exactly-once must
     // come from the plan, not a dropDuplicates

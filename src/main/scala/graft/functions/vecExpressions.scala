@@ -32,20 +32,20 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
-/** minhash_sig(array<string>, num_hashes) → array<long>. */
+/** word_shingles(text, k) → array<string> (distinct word k-grams). */
 case class WordShingles(left: Expression, right: Expression) extends BinaryExpression {
-  private val M = "graft.functions.VecTextOps"
   override def prettyName: String = "word_shingles"
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(text: Any, k: Any): Any =
     VecTextOps.wordShingles(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
       k.asInstanceOf[Int])
-  override def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
-    defineCodeGen(ctx, ev, (t, k) => s"$M.wordShingles($t, $k)")
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"$V.wordShingles($t, $k)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** minhash_sig(array<string>, num_hashes) → array<long>. */
 case class MinhashSig(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "minhash_sig"
   override def nullIntolerant: Boolean = true

@@ -132,22 +132,29 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
-  /** (id, simhash, band chunks) blocking rows — (id, band, chunk) only.
-    * `bands` equal chunks of 64/bands bits: pigeonhole guarantees any pair
-    * with hamming < bands shares a chunk. */
-  private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
-                            bands: Int = 4): DataFrame = {
+  /** Explode a 64-bit hash column into `bands` equal-width (band, chunk)
+    * blocking rows, carrying every other column of `hashed` through.
+    * Pigeonhole: any pair with hamming < bands shares a chunk. The ONE
+    * home of the chunk bit-math — both simhash pair generators band
+    * through here. */
+  private def bandChunks(hashed: DataFrame, hashCol: String,
+                         bands: Int): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val hashed = spread(df).select(col(idCol).as("id"),
-      Gf.simhash64(TextOps.tokens(col(textCol))).as("sh"))
     val chunks = array((0 until bands).map(b => struct(
       lit(b).as("band"),
-      shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask)).as("chunk"))): _*)
-    hashed.select(col("id"), col("sh"), explode(chunks).as("bc"))
-      .select(col("id"), col("sh"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+      shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask)).as("chunk"))): _*)
+    val carried = hashed.columns.map(col)
+    hashed.select(carried :+ explode(chunks).as("bc"): _*)
+      .select(carried :+ col("bc.band").as("band") :+ col("bc.chunk").as("chunk"): _*)
   }
+
+  /** (id, simhash, band chunks) blocking rows for the hamming variant. */
+  private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
+                            bands: Int = 4): DataFrame =
+    bandChunks(spread(df).select(col(idCol).as("id"),
+      Gf.simhash64(TextOps.tokens(col(textCol))).as("sh")), "sh", bands)
 
   /** SimHash near-duplicate pairs: 64-bit token-vote hash, 4×16-bit band
     * blocking, hamming ≤ maxHamming verification. The hash payload is one
@@ -193,21 +200,14 @@ object Dedup {
                           shingleK: Int = 3, threshold: Double = 0.9,
                           bands: Int = 4,
                           maxBucketSize: Int = 10000): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     // one projection computes the simhash AND the shingle count, so the
     // lossless size prefilter can ride the band shuffle (one int per row)
     val proj = spread(df).select(col(idCol).as("id"),
       Gf.simhash64(TextOps.tokens(col(textCol))).as("hash"),
       TextOps.shingles(col(textCol), shingleK).as("sh"))
-    val chunks = array((0 until bands).map(b => struct(
-      lit(b).as("band"),
-      shiftrightunsigned(col("hash"), b * width).bitwiseAND(lit(mask)).as("chunk"))): _*)
     val banded = capBuckets(
-      proj.select(col("id"), size(col("sh")).as("n"), explode(chunks).as("bc"))
-        .select(col("id"), col("n"), col("bc.band").as("band"),
-          col("bc.chunk").as("chunk")),
+      bandChunks(proj.select(col("id"), col("hash"), size(col("sh")).as("n")),
+        "hash", bands).drop("hash"),
       Seq("band", "chunk"), maxBucketSize)
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"),
       col("n").as("n_a"))

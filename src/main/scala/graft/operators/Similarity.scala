@@ -97,9 +97,12 @@ object Similarity {
     * the dominant volume, and a whole extra exchange of it is pure waste:
     * the round-4 CosProbe measured the full op at 16.1 s before / 5-7 s
     * after on a 15.8M-candidate corpus at local[8]). Vectors are joined
-    * back once per candidate. With `maxBucketSize` capping, a pair whose
-    * EARLIEST shared bucket was dropped is not recovered through a later
-    * table — the same documented recall trade-off the cap already is. */
+    * back once per candidate. Capping composes exactly: each row carries a
+    * bitmask of the tables whose bucket SURVIVED the cap (one narrow window
+    * over the banded rows), and a pair is emitted at its earliest shared
+    * table among the surviving ones — identical recall to the old
+    * dropDuplicates form (a pair sharing a capped early bucket is still
+    * recovered through an uncapped later table), still exactly-once. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          planes: Int = 16, tables: Int = 4,
                          idCol: String = "vec_id", vecCol: String = "embedding",
@@ -109,22 +112,30 @@ object Similarity {
       Gf.hyperplaneSig(col("v"), planes, 2000L + t)): _*)
     // oversized buckets (zero/duplicate vectors all share a signature)
     // would square in the self-join — same explicit cap as Dedup
-    val banded = Dedup.capBuckets(ids
+    val capped = Dedup.capBuckets(ids
       .select(col("id"), sigArr.as("sigs"))
       .select(col("id"), col("sigs"), posexplode(col("sigs")))
       .select(col("id"), col("sigs"), col("pos").as("t"), col("col").as("sig")),
       Seq("t", "sig"), maxBucketSize)
+    // bitmask of tables whose bucket survived the cap for THIS id. Two rows
+    // with equal signatures at table t sit in the SAME bucket there, so one
+    // side's bit answers "was that shared bucket capped" for both.
+    val banded = capped.withColumn("mask",
+      sum(expr("shiftleft(CAST(1 AS BIGINT), t)")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
     val a = banded.select(col("t"), col("sig"), col("id").as("id_a"),
-      col("sigs").as("sigs_a"))
+      col("sigs").as("sigs_a"), col("mask").as("mask_a"))
     val b = banded.select(col("t"), col("sig"), col("id").as("id_b"),
       col("sigs").as("sigs_b"))
-    // literal-index OR chain, NOT slice/zip_with/exists: higher-order
+    // veto only when an EARLIER table both matches and survived capping —
+    // a literal-index OR chain, NOT slice/zip_with/exists: higher-order
     // functions evaluate interpreted per row — measured 15.4 s vs 1.45 s
     // for this filter over a 15.8M-row candidate join (CosProbe, round 4)
     val earlierMatch =
       if (tables <= 1) lit(false)
       else (0 until tables - 1).map(tp =>
-        col("t") > tp && col("sigs_a")(tp) === col("sigs_b")(tp))
+        col("t") > tp && col("sigs_a")(tp) === col("sigs_b")(tp) &&
+          col("mask_a").bitwiseAND(lit(1L << tp)) =!= 0L)
         .reduce(_ || _)
     val candidates = a.join(b, Seq("t", "sig"))
       .where(col("id_a") < col("id_b") && !earlierMatch)

@@ -404,23 +404,28 @@ object LineageSink {
     val p = new Path(s"$dir/_sink_id")
     var attempt = 0
     while (attempt < 100) {
-      // read first: a concurrent creator may expose a HALF-written file (or
-      // a torn checksum on ChecksumFileSystem) for a moment — accept only a
-      // complete UUID, otherwise fall through and retry
       try {
         val in = fs.open(p)
         val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                 finally in.close()
         if (s.length == 36) return s
       } catch { case _: java.io.IOException => () }
-      // missing: try to stamp it ourselves (exclusive create; losing the
-      // race is fine — the next read returns the winner's id)
+      // missing: stamp it via write-to-temp + RENAME. Never two concurrent
+      // create(overwrite=false) on the live path: on ChecksumFileSystem the
+      // racers' data and .crc streams can interleave into a PERMANENTLY
+      // unreadable file (observed in the concurrency spec). A rename either
+      // lands a complete file (local FS: atomic, last-wins) or fails
+      // against an existing one (HDFS) — both settle on one readable id;
+      // a transiently divergent read is only ever a seen-cache MISS, which
+      // falls through to the idempotent manifest check.
       try {
         fs.mkdirs(p.getParent)
-        val out = fs.create(p, false)
+        val tmp = new Path(s"$dir/._sink_id.tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
         try out.write(java.util.UUID.randomUUID().toString
           .getBytes(StandardCharsets.UTF_8))
         finally out.close()
+        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
       } catch { case _: java.io.IOException => () }
       attempt += 1
       if (attempt > 1) Thread.sleep(5)

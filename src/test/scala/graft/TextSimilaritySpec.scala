@@ -100,21 +100,70 @@ class TextSimilaritySpec extends AnyFunSuite {
 
   test("cosineNearDupPairs: first-collision-wins emits each pair once, NO dedup exchange") {
     // two exact dups (collide in every table) + decoys; exactly-once must
-    // come from the plan, not a dropDuplicates
+    // come from the plan, not a dropDuplicates. Embeddings are FLOAT arrays
+    // (the kernel contract — getFloat over a double array reads garbage).
     val vecs = ((0 until 40).map(i =>
-      (i.toLong, Array.tabulate(16)(d => math.sin(i * 16 + d + 1)))) ++
-      Seq((100L, Array.tabulate(16)(d => math.cos(d + 1.0))),
-          (101L, Array.tabulate(16)(d => math.cos(d + 1.0)))))
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 16 + d + 1).toFloat))) ++
+      Seq((100L, Array.tabulate(16)(d => math.cos(d + 1.0).toFloat)),
+          (101L, Array.tabulate(16)(d => math.cos(d + 1.0).toFloat))))
       .toDF("vec_id", "embedding")
     val out = Similarity.cosineNearDupPairs(vecs, 0.999)
     val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.count(p => p == ((100L, 101L))) === 1,
       "exact-dup pair must be emitted exactly once across the 4 tables")
-    // plan shape: no Deduplicate node anywhere (the round-4 rewrite)
-    val dedups = out.queryExecution.optimizedPlan.collect {
-      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
-    }
-    assert(dedups.isEmpty, "pair dedup exchange crept back into the plan")
+    // plan shape: no Deduplicate node — checked on the ANALYZED plan (the
+    // optimizer rewrites every batch Deduplicate to an Aggregate, so the
+    // optimized plan is vacuously clean even for dropDuplicates code)
+    def dedups(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+      }
+    assert(dedups(out).isEmpty, "pair dedup exchange crept back into the plan")
+    // control: the assertion CAN fail — minhashPairs still deduplicates
+    val ctrl = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    assert(dedups(Dedup.minhashPairs(ctrl, "doc_id", "text")).nonEmpty,
+      "control lost its Deduplicate — the assertion is vacuous again")
+  }
+
+  test("cosineNearDupPairs: a pair whose EARLIEST shared bucket is capped is recovered later") {
+    // the regression the survived-table bitmask exists for: a pair that
+    // sits in a boilerplate cluster's (capped) bucket at table 0, but in
+    // its own tiny bucket at tables 1-3, must still surface — the naive
+    // first-collision veto would see the table-0 signature match and drop
+    // it. At planes = 4 a table-0 signature collision is findable by a
+    // deterministic search over candidate vectors.
+    val dim = 16
+    val boiler = Array.tabulate(dim)(d => if (d == 0) 1.0f else 0.0f)
+    val cands = (0 until 400).map(i =>
+      Array.tabulate(dim)(d => math.sin(i * 31 + d * 7 + 1).toFloat))
+    val sigRows = (boiler +: cands).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      .select(col("vec_id") +: (0 until 4).map(t =>
+        call_function("hyperplane_sig", col("embedding"), lit(4),
+          lit(2000L + t)).as(s"s$t")): _*)
+      .orderBy("vec_id").collect()
+    val base = sigRows.head
+    // need: table-0 bucket shared with the boilerplate (so it gets capped)
+    // and at least one LATER table in a bucket of its own (so the pair can
+    // be recovered there)
+    val probe = sigRows.tail.find(r =>
+      r.getLong(1) == base.getLong(1) && (r.getLong(2) != base.getLong(2) ||
+        r.getLong(3) != base.getLong(3) || r.getLong(4) != base.getLong(4)))
+    assert(probe.nonEmpty, "no table-0 collision in the candidate pool " +
+      s"(deterministic data — base sigs ${(1 to 4).map(base.getLong)}, " +
+      s"sample ${sigRows.tail.take(5).map(r => (1 to 4).map(r.getLong)).toList})")
+    val pv = cands(probe.get.getLong(0).toInt - 1)
+
+    val vecs = ((0 until 30).map(i => (i.toLong, boiler)) ++
+      Seq((200L, pv), (201L, pv))).toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupPairs(vecs, 0.999, planes = 4,
+      maxBucketSize = 20).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the pair's table-0 bucket holds the 32-row capped cluster; tables 1-3
+    // hold only the pair — it must be emitted exactly once regardless
+    assert(out.count(_ == ((200L, 201L))) === 1,
+      "pair lost to the capped early bucket (survived-mask veto broken)")
+    assert(!out.exists { case (x, y) => x < 30 && y < 30 },
+      "capped boilerplate cluster leaked pairs")
   }
 
   test("hyperplane signature is scale-invariant (identical directions collide)") {

@@ -723,6 +723,46 @@ object SparkEntry {
         .orderBy("stop_id")
     }),
 
+    // --- GTFS stop-VISIT counts (round-4 countVisits toggle — gtfs_kit's
+    // exact counting: a trip looping through a stop twice in an hour counts
+    // twice). The q32 feed has real repeats (every trip revisits each of
+    // its stops 20×), so this certifies a genuinely different answer:
+    // COUNT(*) per (stop, hour) instead of COUNT(DISTINCT trip_id). ---
+    "q57_gtfs_visits" -> ((s, dir) => {
+      prep(s)
+      val trips = s.range(200).select(
+        concat(lit("t"), col("id")).as("trip_id"),
+        concat(lit("HS"), pmod(col("id"), lit(7))).as("trip_headsign"))
+      val stops = s.range(40).select(
+        concat(lit("s"), col("id")).as("stop_id"),
+        (col("id") / 10.0).as("stop_lon"), (col("id") / 20.0).as("stop_lat"))
+      val stopTimes = s.range(4000).select(
+        concat(lit("t"), pmod(col("id"), lit(200))).as("trip_id"),
+        concat(lit("s"), pmod(col("id") * 7, lit(40))).as("stop_id"),
+        when(pmod(col("id"), lit(11)) === 0, lit(null))
+          .otherwise(concat(
+            lpad(pmod(col("id") * 13, lit(30)).cast("string"), 2, "0"), lit(":"),
+            lpad(pmod(col("id"), lit(60)).cast("string"), 2, "0"), lit(":00")))
+          .as("departure_time"))
+      operators.Gtfs.transform(stopTimes, trips, stops, countVisits = true)
+        .select((col("stop_id") +: (0 until 24).map(h =>
+          col(s"trips_at_$h"))): _*)
+        .orderBy("stop_id")
+    }),
+
+    // --- auto index-level spatial join (round-4 cellLevel=None mode): the
+    // S2 level comes from suggestLevel over the region set at transform
+    // time; the join answer is level-independent (exact JTS refine), so the
+    // oracle is q06's closed-form box test verbatim. ---
+    "q58_auto_level_join" -> ((s, dir) => {
+      val joint = IntersectionJoiner.auto(pointFeatures = true,
+        broadcastRegions = Some(true))
+        .transform(DerivedGeo.rectRegions(prep(s), dir),
+          DerivedGeo.pointFeatures(s, dir))
+      joint.groupBy(Tables.RegionsIndex).agg(count(lit(1)).as("n_points"))
+        .orderBy(Tables.RegionsIndex)
+    }),
+
     // --- OSM way-attribute normalization (L9 second half, reference
     // osm_way_loader.py:304-374): every sanitize/normalize rule exercised
     // by a fixed variant table; the oracle maps each variant to its
@@ -1475,6 +1515,33 @@ object SparkEntry {
          |SELECT s.stop_id, agg.* EXCLUDE (stop_id), s.lng, s.lat
          |FROM stops s JOIN agg USING (stop_id) ORDER BY s.stop_id""".stripMargin
     },
+
+    "q57_gtfs_visits" -> {
+      val hourCols = (0 until 24).map { h =>
+        s"  CAST(COUNT(*) FILTER (WHERE hour = $h) AS BIGINT) AS trips_at_$h"
+      }.mkString(",\n")
+      s"""WITH trips AS (SELECT 't' || CAST(id AS VARCHAR) AS trip_id,
+         |        'HS' || CAST(id % 7 AS VARCHAR) AS trip_headsign FROM range(200) t(id)),
+         |st AS (SELECT 't' || CAST(id % 200 AS VARCHAR) AS trip_id,
+         |        's' || CAST((id * 7) % 40 AS VARCHAR) AS stop_id,
+         |        CASE WHEN id % 11 = 0 THEN NULL ELSE
+         |          lpad(CAST((id * 13) % 30 AS VARCHAR), 2, '0') || ':' ||
+         |          lpad(CAST(id % 60 AS VARCHAR), 2, '0') || ':00' END AS departure_time
+         |     FROM range(4000) t(id)),
+         |j AS (SELECT st.stop_id, st.trip_id,
+         |        CAST(replace(substring(departure_time, 1, 2), ':', '') AS INT) % 24 AS hour
+         |      FROM st JOIN trips t USING (trip_id) WHERE departure_time IS NOT NULL)
+         |SELECT stop_id,
+         |$hourCols
+         |FROM j GROUP BY stop_id ORDER BY stop_id""".stripMargin
+    },
+
+    "q58_auto_level_join" ->
+      s"""WITH p AS (${DerivedGeo.pointsSql}), r AS (${DerivedGeo.rectsSql})
+         |SELECT r.region_id, COUNT(*) AS n_points
+         |FROM p JOIN r ON p.lng >= r.xmin AND p.lng <= r.xmax
+         |              AND p.lat >= r.ymin AND p.lat <= r.ymax
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q33_way_normalize" ->
       """SELECT id,

@@ -246,6 +246,15 @@ object LineageSink {
         .filterNot(s => leaseLive(fs, dir, s.getPath.getName, horizon))
         .foreach(s => { fs.delete(s.getPath, true)
           releaseLease(fs, dir, s.getPath.getName) })
+    // orphaned sink-id temp files (a stamper that died between write and
+    // rename) — dot-prefixed, invisible to readers; reap once stale
+    val root = new Path(dir)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { s =>
+        if (s.getPath.getName.startsWith("._sink_id.tmp-") &&
+            System.currentTimeMillis() - s.getModificationTime > horizon)
+          fs.delete(s.getPath, false)
+      }
     val mroot = new Path(manifestDir(dir))
     if (fs.exists(mroot)) {
       fs.listStatus(mroot).foreach { s =>

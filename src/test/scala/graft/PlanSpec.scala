@@ -136,6 +136,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup operator plans contain NO higher-order functions (hot-path codegen)") {
+    // HOFs (transform/slice/zip_with/exists lambdas) evaluate interpreted
+    // per element — the round-4 kernel pass removed every one from the
+    // dedup/similarity hot paths (measured 3-5× per operator); this guards
+    // the regression class wholesale. Operator plans are built over plain
+    // literal inputs (some SparkEntry queries legitimately use a HOF to
+    // SYNTHESIZE their test data).
+    import spark.implicits._
+    import graft.operators.{Dedup, Similarity}
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g"))
+      .toDF("doc_id", "text")
+    val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.1f)))
+      .toDF("vec_id", "embedding")
+    val plans = Seq(
+      "minhashPairs" -> Dedup.minhashPairs(docs, "doc_id", "text"),
+      "simhashPairs" -> Dedup.simhashPairs(docs, "doc_id", "text"),
+      "simhashJaccardPairs" -> Dedup.simhashJaccardPairs(docs, "doc_id", "text"),
+      "cosineNearDupPairs" -> Similarity.cosineNearDupPairs(vecs, 0.9),
+      "lshTopK" -> Similarity.lshTopK(vecs, vecs.limit(1), 5),
+      "bruteForceTopK" -> Similarity.bruteForceTopK(vecs, vecs.limit(1), 5))
+    for ((name, df) <- plans) {
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("lambdafunction"),
+        s"$name plan evaluates a higher-order function:\n${p.take(1500)}")
+    }
+  }
+
   test("AQE and skew-join handling enabled in the session") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")

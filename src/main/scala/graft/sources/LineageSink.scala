@@ -247,12 +247,16 @@ object LineageSink {
         .foreach(s => { fs.delete(s.getPath, true)
           releaseLease(fs, dir, s.getPath.getName) })
     // orphaned sink-id temp files (a stamper that died between write and
-    // rename) — dot-prefixed, invisible to readers; reap once stale
+    // rename) — dot-prefixed, invisible to readers; reap once stale. The
+    // age floor is NOT the configurable horizon: a spec running with
+    // staleMs=0 must not nuke a LIVE stamper's millisecond-wide
+    // write-to-rename window (these temps have no lease to check)
+    val sinkTmpFloor = math.max(horizon, 60000L)
     val root = new Path(dir)
     if (fs.exists(root))
       fs.listStatus(root).foreach { s =>
         if (s.getPath.getName.startsWith("._sink_id.tmp-") &&
-            System.currentTimeMillis() - s.getModificationTime > horizon)
+            System.currentTimeMillis() - s.getModificationTime > sinkTmpFloor)
           fs.delete(s.getPath, false)
       }
     val mroot = new Path(manifestDir(dir))

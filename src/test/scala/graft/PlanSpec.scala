@@ -157,9 +157,14 @@ class PlanSpec extends AnyFunSuite {
       "lshTopK" -> Similarity.lshTopK(vecs, vecs.limit(1), 5),
       "bruteForceTopK" -> Similarity.bruteForceTopK(vecs, vecs.limit(1), 5))
     for ((name, df) <- plans) {
-      val p = df.queryExecution.optimizedPlan.toString
-      assert(!p.contains("lambdafunction"),
-        s"$name plan evaluates a higher-order function:\n${p.take(1500)}")
+      // walk the TREE, not the plan string — toString truncates wide field
+      // lists at spark.sql.debug.maxToStringFields and would hide a lambda
+      val lambdas = df.queryExecution.optimizedPlan.collect {
+        case node if node.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.LambdaFunction])) => node
+      }
+      assert(lambdas.isEmpty,
+        s"$name plan evaluates a higher-order function:\n${lambdas.headOption}")
     }
   }
 

@@ -150,6 +150,48 @@ class ContainerSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("null frame at index 1")))
   }
 
+  test("file-level ingestion: real .wav/.avi files through the binaryFile source") {
+    import SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("media_files")
+    // write REAL container files to disk (plus a decoy the glob must skip)
+    for (id <- 0 until 5) {
+      val pcm = MediaOps.synthPcm16(id.toLong, 1024)
+      java.nio.file.Files.write(dir.resolve(s"clip_$id.wav"),
+        RiffOps.wavEncode(pcm, 16000, 1))
+      val frames = Array.tabulate(3)(f => RiffOps.frameSynth(id.toLong, f, 16, 16, "jpeg"))
+      java.nio.file.Files.write(dir.resolve(s"vid_$id.avi"),
+        RiffOps.aviMjpegEncode(frames, 16, 16, 8))
+    }
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "not media".getBytes)
+
+    val wav = graft.sources.Media.wavFeatures(spark, dir.toString).collect()
+    assert(wav.length === 5)
+    wav.foreach { r =>
+      val id = r.getString(0).split("clip_")(1).stripSuffix(".wav").toLong
+      assert(r.getAs[Int]("sample_rate") === 16000)
+      assert(r.getAs[Int]("channels") === 1)
+      // features equal the direct kernel on the original PCM
+      val pcm = MediaOps.synthPcm16(id, 1024)
+      assert(r.getAs[Long]("zcr") === MediaOps.audioZeroCrossings(pcm))
+      assert(r.getSeq[Double](r.fieldIndex("rms")) ===
+        MediaOps.audioRmsWindows(pcm, 256).toSeq)
+    }
+
+    val avi = graft.sources.Media.readAviFrames(spark, dir.toString)
+    assert(avi.count() === 15) // 5 files × 3 frames
+    val one = avi.where(col("path").endsWith("vid_2.avi") && col("frame_idx") === 1)
+      .collect()(0)
+    assert(one.getAs[Int]("w") === 16 && one.getAs[Int]("n_frames") === 3)
+    assert(java.util.Arrays.equals(one.getAs[Array[Byte]]("jpeg"),
+      RiffOps.frameSynth(2L, 1, 16, 16, "jpeg")))
+    // payloads decode through the real JPEG path
+    val dims = avi.select(
+      call_function("img_width", col("jpeg")).as("jw"),
+      call_function("img_height", col("jpeg")).as("jh")).collect()
+    assert(dims.forall(r => r.getInt(0) == 16 && r.getInt(1) == 16))
+  }
+
   test("media kernels guard degenerate parameters") {
     boom("window must be positive")(
       MediaOps.audioRmsWindows(MediaOps.synthPcm16(1L, 8), 0))

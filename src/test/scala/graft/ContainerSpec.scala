@@ -192,6 +192,42 @@ class ContainerSpec extends AnyFunSuite {
     assert(dims.forall(r => r.getInt(0) == 16 && r.getInt(1) == 16))
   }
 
+  test("mutation fuzz: corrupted containers parse or fail CLEANLY, never crash") {
+    // deterministic single-byte corruptions at every offset of the header
+    // region and a stride through the payload: the parser contract is
+    // "valid result or IllegalArgumentException with a message" — an
+    // ArrayIndexOutOfBounds / NegativeArraySize / NPE is a bug
+    def fuzz(bytes: Array[Byte], parse: Array[Byte] => Any, what: String): Unit = {
+      val offsets = (0 until math.min(64, bytes.length)) ++
+        (64 until bytes.length by 37)
+      for (off <- offsets; delta <- Seq(1, 0x55, -1)) {
+        val mutated = bytes.clone()
+        mutated(off) = (mutated(off) + delta).toByte
+        try { parse(mutated); () }
+        catch {
+          case _: IllegalArgumentException => () // clean refusal
+          case e: Throwable =>
+            fail(s"$what: byte $off+$delta → ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+      // truncation at every length in the header region
+      for (len <- 0 until math.min(80, bytes.length)) {
+        try { parse(bytes.take(len)); () }
+        catch {
+          case _: IllegalArgumentException => ()
+          case e: Throwable =>
+            fail(s"$what: truncated to $len → ${e.getClass.getSimpleName}")
+        }
+      }
+    }
+    val wav = RiffOps.wavEncode(MediaOps.synthPcm16(5L, 200), 8000, 1)
+    fuzz(wav, RiffOps.wavDecode, "wav")
+    val avi = RiffOps.aviMjpegEncode(
+      Array.tabulate(2)(f => jpegFrame(5L, f)), 16, 16, 8)
+    fuzz(avi, RiffOps.aviFrames, "avi frames")
+    fuzz(avi, RiffOps.aviHeader, "avi header")
+  }
+
   test("media kernels guard degenerate parameters") {
     boom("window must be positive")(
       MediaOps.audioRmsWindows(MediaOps.synthPcm16(1L, 8), 0))

@@ -41,6 +41,33 @@ object CatalystHelpers {
 
   def s2Boundary(id: Long): Array[Byte] = Geo.toWkb(S2.cellGeometry(id))
 
+  /** Children of `id` at `level` in the reference's top-left → bottom-right
+    * raster order: ascending (−ymax, xmin, child) over each child cell's
+    * straight-edge boundary envelope (s2_utils.py:60-72). Value-identical
+    * to `sort_array(transform(s2_children(...), p => struct(-st_ymax(
+    * s2_boundary(p)), st_xmin(s2_boundary(p)), p)))` — the envelope of the
+    * 4-vertex cell polygon is the vertex min/max, and Spark's struct
+    * sort_array is the same lexicographic (double, double, signed long)
+    * ordering — but in ONE kernel pass: the declarative form built and
+    * re-parsed two WKB geometries per child inside an interpreted lambda. */
+  def s2SortedChildren(id: Long, level: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val kids = S2.childrenAtLevel(id, level)
+    val keyed = kids.map { k =>
+      val vs = S2.cellVertices(k)
+      var ymax = Double.NegativeInfinity
+      var xmin = Double.PositiveInfinity
+      var i = 0
+      while (i < vs.length) {
+        if (vs(i)._2 > ymax) ymax = vs(i)._2
+        if (vs(i)._1 < xmin) xmin = vs(i)._1
+        i += 1
+      }
+      (-ymax, xmin, k)
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      keyed.sortBy(t => (t._1, t._2, t._3)).map(_._3))
+  }
+
   def s2Level(id: Long): Int = S2.level(id)
 
   def s2Parent(id: Long, level: Int): Long = S2.parent(id, level)

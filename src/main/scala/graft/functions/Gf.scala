@@ -40,6 +40,7 @@ object Gf {
     "s2_token" -> (e => S2Token(e(0))),
     "s2_from_token" -> (e => S2FromToken(e(0))),
     "s2_children" -> (e => S2Children(e(0), e(1))),
+    "s2_sorted_children" -> (e => S2SortedChildren(e(0), e(1))),
     "s2_cover" -> (e => S2Cover(e(0), e(1))),
     "s2_cover_expanded" -> (e => S2CoverExpanded(e(0), e(1), e(2))),
     "s2_boundary" -> (e => S2Boundary(e(0))),
@@ -137,6 +138,8 @@ object Gf {
   def s2FromToken(t: Column): Column = call_function("s2_from_token", t)
   def s2Children(id: Column, level: Int): Column =
     call_function("s2_children", id, lit(level))
+  def s2SortedChildren(id: Column, level: Int): Column =
+    call_function("s2_sorted_children", id, lit(level))
   def s2Cover(geom: Column, level: Int): Column = call_function("s2_cover", geom, lit(level))
   def s2CoverExpanded(geom: Column, level: Int, h: Double): Column =
     call_function("s2_cover_expanded", geom, lit(level), lit(h))

@@ -341,6 +341,18 @@ case class S2CoverExpanded(first: Expression, second: Expression, third: Express
 }
 
 /** s2_boundary(cell) — planar 4-vertex cell polygon (s2_regionalizer.py:98-102). */
+case class S2SortedChildren(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "s2_sorted_children"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(id: Any, lvl: Any): Any =
+    CatalystHelpers.s2SortedChildren(id.asInstanceOf[Long], lvl.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$C.s2SortedChildren($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class S2Boundary(child: Expression) extends UnaryExpression {
   override def prettyName: String = "s2_boundary"
   override def nullIntolerant: Boolean = true

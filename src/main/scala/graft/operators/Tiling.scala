@@ -32,23 +32,22 @@ object Tiling {
     val withCell = imagesWithGeotag.withColumn("img_cell",
       Gf.s2Cell(col("lng"), col("lat"), imgLevel))
     // The reference's top-left → bottom-right lexsort (desc ymax, asc xmin,
-    // s2_utils.py:60-72) runs PER ROW on the children array (sort_array on
-    // struct(-ymax, xmin, patch)) — a pure projection. The round-1 version
-    // used a row_number window per image_id: an avoidable global
-    // shuffle+sort that the per-row sort eliminates entirely.
+    // s2_utils.py:60-72) runs PER ROW inside one kernel
+    // (s2_sorted_children) — a pure projection. The round-1 version used a
+    // row_number window per image_id (an avoidable global shuffle+sort);
+    // the round-2..3 version sorted declaratively with sort_array over a
+    // transform lambda, which evaluated INTERPRETED per child and built +
+    // re-parsed two WKB boundary geometries per child (kernel-vs-formula
+    // equality is spec-pinned in MiscOpsSpec).
     val sorted = withCell.select(
       col("image_id"), col("img_cell"),
-      sort_array(transform(Gf.s2Children(col("img_cell"), patchLevel), p => {
-        val g = Gf.s2Boundary(p)
-        struct((-Gf.stYMax(g)).as("negymax"), Gf.stXMin(g).as("xmin"),
-          p.as("patch"))
-      })).as("patches"))
+      Gf.s2SortedChildren(col("img_cell"), patchLevel).as("patches"))
     sorted.select(col("image_id"), col("img_cell"),
       posexplode(col("patches")))
       .select(
         col("image_id"),
         Gf.s2Token(col("img_cell")).as("img_region_id"),
-        Gf.s2Token(col("col.patch")).as("patch_id"),
+        Gf.s2Token(col("col")).as("patch_id"),
         col("pos"),
         (col("pos") / side).cast("int").as("pos_row"),
         pmod(col("pos"), lit(side)).cast("int").as("pos_col"))

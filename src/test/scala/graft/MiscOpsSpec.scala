@@ -115,6 +115,29 @@ class SpatialSplitSpec extends AnyFunSuite {
       out2.select("point_id", "split")).count() === 0)
   }
 
+  test("s2_sorted_children kernel == declarative boundary-sort formula") {
+    import spark.implicits._
+    import graft.functions.Gf
+    // anchors scattered over faces/hemispheres; levels crossing 1 and 2
+    // subdivision steps
+    val anchors = Seq((-170.0, -40.0), (-30.0, 60.0), (0.05, 0.05),
+      (120.0, -75.0), (179.0, 20.0), (45.0, 45.0))
+    for ((lng, lat) <- anchors; (lvl, plvl) <- Seq((8, 10), (12, 13))) {
+      val df = Seq((lng, lat)).toDF("lng", "lat")
+        .select(Gf.s2Cell(col("lng"), col("lat"), lvl).as("c"))
+      val got = df.select(Gf.s2SortedChildren(col("c"), plvl).as("p"))
+        .collect()(0).getSeq[Long](0)
+      val want = df.select(sort_array(transform(Gf.s2Children(col("c"), plvl),
+          p => {
+            val g = Gf.s2Boundary(p)
+            struct((-Gf.stYMax(g)).as("negymax"), Gf.stXMin(g).as("xmin"),
+              p.as("patch"))
+          })).as("s"))
+        .select(col("s.patch").as("p")).collect()(0).getSeq[Long](0)
+      assert(got === want, s"anchor ($lng,$lat) $lvl→$plvl")
+    }
+  }
+
   test("bucketedStats == global ntile, with NO partition-less window in the plan") {
     import spark.implicits._
     // skewed counts with heavy ties — the case where rank alignment across

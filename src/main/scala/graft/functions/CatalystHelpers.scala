@@ -70,6 +70,35 @@ object CatalystHelpers {
 
   def s2Level(id: Long): Int = S2.level(id)
 
+  /** GeoVex dense-grid fill: (2k+2)×(2k+2) row-major grid with cell value v
+    * at [k+i, k−j] for each {ij: [i, j], v} entry, zeros elsewhere.
+    * Value-identical to the declarative aggregate-over-transform form, but
+    * O(cells) instead of O(cells × side²): the fold re-built the whole
+    * side² array per cell through an interpreted lambda (k = 5 → ~14k
+    * lambda evaluations per anchor; this is one array fill). */
+  def hexDenseGrid(cells: org.apache.spark.sql.catalyst.util.ArrayData,
+                   k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val side = 2 * k + 2
+    val flat = new Array[Double](side * side)
+    var c = 0
+    val n = cells.numElements()
+    while (c < n) {
+      val row = cells.getStruct(c, 2)
+      val ij = row.getArray(0)
+      val pos = (k + ij.getInt(0)) * side + (k - ij.getInt(1))
+      flat(pos) = row.getDouble(1)
+      c += 1
+    }
+    val rows = new Array[Any](side)
+    var r = 0
+    while (r < side) {
+      rows(r) = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        java.util.Arrays.copyOfRange(flat, r * side, (r + 1) * side))
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows)
+  }
+
   def s2Parent(id: Long, level: Int): Long = S2.parent(id, level)
 
   // ---- H3 ----

@@ -353,6 +353,19 @@ case class S2SortedChildren(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+case class HexDenseGrid(left: Expression, right: Expression)
+    extends BinaryExpression with codegen.CodegenFallback {
+  override def prettyName: String = "hex_dense_grid"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullSafeEval(cells: Any, k: Any): Any =
+    CatalystHelpers.hexDenseGrid(
+      cells.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      k.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class S2Boundary(child: Expression) extends UnaryExpression {
   override def prettyName: String = "s2_boundary"
   override def nullIntolerant: Boolean = true

@@ -79,23 +79,16 @@ object Tiling {
       .where(col("ij").isNotNull)
       .join(values.select(col(Tables.RegionsIndex).as("neighbour"),
         col(valueCol).cast("double").as("v")), Seq("neighbour"))
-    val side = 2 * k + 2
     val complete = ring.groupBy("anchor")
       .agg(collect_list(struct(col("ij"), col("v"))).as("cells"))
       .where(size(col("cells")) === 3 * k * (k + 1) + 1)
-    // dense grid: pos = (k + i) * side + (k - j), row-major flat then split
-    val flat = complete.select(col("anchor"),
-      aggregate(
-        transform(col("cells"), c =>
-          struct(((lit(k) + c.getField("ij").getItem(0)) * side +
-            (lit(k) - c.getField("ij").getItem(1))).as("pos"),
-            c.getField("v").as("v"))),
-        array_repeat(lit(0.0), side * side),
-        (acc, e) => transform(acc, (x, i) =>
-          when(i === e.getField("pos"), e.getField("v")).otherwise(x))).as("flat"))
-    flat.select(col("anchor").as(Tables.RegionsIndex),
-      transform(sequence(lit(0), lit(side - 1)), r =>
-        slice(col("flat"), r * side + 1, lit(side))).as("rows"))
+    // dense grid: value at [k+i, k−j], zeros elsewhere — ONE kernel fill
+    // (hex_dense_grid). The declarative aggregate-over-transform fold
+    // rebuilt the whole side² array per cell through interpreted lambdas:
+    // O(cells × (2k+2)²) per anchor vs O(cells) (kernel-vs-formula
+    // equality spec-pinned in MiscOpsSpec); output shape (2k+2)×(2k+2).
+    complete.select(col("anchor").as(Tables.RegionsIndex),
+      call_function("hex_dense_grid", col("cells"), lit(k)).as("rows"))
   }
 
   /** Regroup patch rows back to one ordered array per image

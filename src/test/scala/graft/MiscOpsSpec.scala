@@ -138,6 +138,41 @@ class SpatialSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("hex_dense_grid kernel == declarative aggregate/transform fill") {
+    import spark.implicits._
+    val k = 2
+    val side = 2 * k + 2
+    // every IJ position of a complete k=2 disk plus the center, values
+    // distinguishable per position
+    val ij = for (i <- -k to k; j <- -k to k
+                  if math.max(math.max(math.abs(i), math.abs(j)),
+                    math.abs(i - j)) <= k) yield (i, j)
+    val df = Seq(1)
+      .toDF("one")
+      .select(array(ij.map { case (i, j) =>
+        struct(array(lit(i), lit(j)).as("ij"),
+          lit((i * 10 + j + 100).toDouble).as("v"))
+      }: _*).as("cells"))
+    val got = df.select(call_function("hex_dense_grid", col("cells"), lit(k)))
+      .collect()(0).getSeq[Seq[Double]](0)
+    val want = df.select(
+      aggregate(
+        transform(col("cells"), c =>
+          struct(((lit(k) + c.getField("ij").getItem(0)) * side +
+            (lit(k) - c.getField("ij").getItem(1))).as("pos"),
+            c.getField("v").as("v"))),
+        array_repeat(lit(0.0), side * side),
+        (acc, e) => transform(acc, (x, i) =>
+          when(i === e.getField("pos"), e.getField("v")).otherwise(x))).as("flat"))
+      .select(transform(sequence(lit(0), lit(side - 1)), r =>
+        slice(col("flat"), r * side + 1, lit(side))).as("rows"))
+      .collect()(0).getSeq[Seq[Double]](0)
+    assert(got === want)
+    // the center sits at [k, k] and zeros fill the unused border
+    assert(got(k)(k) === 100.0)
+    assert(got(side - 1).forall(_ === 0.0))
+  }
+
   test("bucketedStats == global ntile, with NO partition-less window in the plan") {
     import spark.implicits._
     // skewed counts with heavy ties — the case where rank alignment across

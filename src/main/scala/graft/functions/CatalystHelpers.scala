@@ -150,6 +150,88 @@ object CatalystHelpers {
     ArrayData.toArrayData(Array(lat, lng))
   }
 
+  /** One-pass H3 string sequence → [lat, lng] path (the per-element
+    * transform lambda evaluated interpreted). */
+  def h3SeqPath(seq: ArrayData): ArrayData = {
+    val n = seq.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (seq.isNullAt(i)) null
+        else h3LatLng(graft.core.H3.fromHexString(seq.getUTF8String(i).toString))
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Mean haversine distance between two [lat, lng] paths, zip-truncated to
+    * the shorter, null pairs skipped; null when no valid pair — the exact
+    * FP order of the declarative form (Gf.haversineM inside zip_with →
+    * filter → aggregate → /count): Math.toRadians on the RAW difference,
+    * Math.pow(·, 2.0) (not x·x — 1 ulp apart on some inputs), the
+    * 2·R constant folded first, left-to-right accumulation. */
+  def haversineMeanPath(a: ArrayData, b: ArrayData): Any = {
+    val R2 = 2.0 * GeoMetrics.EarthRadiusM
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = 0.0
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val p = a.getArray(i); val q = b.getArray(i)
+        if (!p.isNullAt(0) && !p.isNullAt(1) && !q.isNullAt(0) && !q.isNullAt(1)) {
+          val lat1 = p.getDouble(0); val lng1 = p.getDouble(1)
+          val lat2 = q.getDouble(0); val lng2 = q.getDouble(1)
+          val h = math.pow(math.sin(math.toRadians(lat2 - lat1) / 2), 2) +
+            math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+              math.pow(math.sin(math.toRadians(lng2 - lng1) / 2), 2)
+          // Spark's least() sorts NaN as the GREATEST double, so a NaN
+          // coordinate clamps to 1.0 (≈ antipodal) — math.min would
+          // propagate the NaN and diverge from the declarative form
+          val s = math.sqrt(h)
+          val clamped = if (s.isNaN || s > 1.0) 1.0 else s
+          sum += R2 * math.asin(clamped)
+          count += 1
+        }
+      }
+      i += 1
+    }
+    if (count == 0) null else sum / count
+  }
+
+  /** Exact-match fraction between two sequences of ATOMIC elements,
+    * zip-truncated; null-safe per element (None == None counts as a match,
+    * like the reference); null when both are empty. Element equality
+    * mirrors Spark's `<=>`: NaN equals NaN for floating types, everything
+    * else by value. */
+  def seqAccuracy(a: ArrayData, b: ArrayData,
+                  et: org.apache.spark.sql.types.DataType): Any = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return null
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val an = a.isNullAt(i); val bn = b.isNullAt(i)
+      if (an && bn) matches += 1
+      else if (!an && !bn) {
+        val va = a.get(i, et); val vb = b.get(i, et)
+        val equal = et match {
+          case org.apache.spark.sql.types.DoubleType =>
+            val x = va.asInstanceOf[Double]; val y = vb.asInstanceOf[Double]
+            x == y || (x.isNaN && y.isNaN)
+          case org.apache.spark.sql.types.FloatType =>
+            val x = va.asInstanceOf[Float]; val y = vb.asInstanceOf[Float]
+            x == y || (x.isNaN && y.isNaN)
+          case _ => va == vb
+        }
+        if (equal) matches += 1
+      }
+      i += 1
+    }
+    matches.toDouble / n
+  }
+
   // ---- slippy ----
   def slippyCover(wkb: Array[Byte], zoom: Int): ArrayData = {
     val tiles = Slippy.cover(Geo.fromWkb(wkb), zoom)

@@ -42,6 +42,9 @@ object Gf {
     "s2_children" -> (e => S2Children(e(0), e(1))),
     "s2_sorted_children" -> (e => S2SortedChildren(e(0), e(1))),
     "hex_dense_grid" -> (e => HexDenseGrid(e(0), e(1))),
+    "h3_seq_path" -> (e => H3SeqPath(e(0))),
+    "haversine_mean_path" -> (e => HaversineMeanPath(e(0), e(1))),
+    "seq_accuracy" -> (e => SeqAccuracy(e(0), e(1))),
     "s2_cover" -> (e => S2Cover(e(0), e(1))),
     "s2_cover_expanded" -> (e => S2CoverExpanded(e(0), e(1), e(2))),
     "s2_boundary" -> (e => S2Boundary(e(0))),

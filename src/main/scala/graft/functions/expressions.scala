@@ -353,6 +353,46 @@ case class S2SortedChildren(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+case class H3SeqPath(child: Expression) extends UnaryExpression
+    with codegen.CodegenFallback {
+  override def prettyName: String = "h3_seq_path"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = true)
+  override def nullSafeEval(seq: Any): Any =
+    CatalystHelpers.h3SeqPath(
+      seq.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class HaversineMeanPath(left: Expression, right: Expression)
+    extends BinaryExpression with codegen.CodegenFallback {
+  override def prettyName: String = "haversine_mean_path"
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // no valid pair → null on non-null input
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CatalystHelpers.haversineMeanPath(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class SeqAccuracy(left: Expression, right: Expression)
+    extends BinaryExpression with codegen.CodegenFallback {
+  override def prettyName: String = "seq_accuracy"
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // empty zip → null on non-null input
+  override def dataType: DataType = DoubleType
+  private lazy val elemType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CatalystHelpers.seqAccuracy(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], elemType)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class HexDenseGrid(left: Expression, right: Expression)
     extends BinaryExpression with codegen.CodegenFallback {
   override def prettyName: String = "hex_dense_grid"

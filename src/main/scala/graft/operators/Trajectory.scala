@@ -27,29 +27,41 @@ object Trajectory {
 
   /** Element-wise mean haversine distance (meters) between two equal-length
     * [lat, lng] paths (reference `haversine_sequence`, zip semantics:
-    * truncates to the shorter length; empty → null). Pure built-in column
-    * math — stays in codegen and mirrors 1:1 into the SQL oracle. */
-  def haversineMean(a: Column, b: Column): Column = {
-    // python zip TRUNCATES to the shorter sequence; Spark zip_with pads
-    // with nulls — slice both sides first. Null elements are SKIPPED like
-    // the reference's `if true_h3 and pred_h3` guard (one bad element must
-    // not null-poison the whole mean).
+    * truncates to the shorter length; null pairs SKIPPED like the
+    * reference's `if true_h3 and pred_h3` guard; no valid pair → null).
+    * One kernel pass ([[graft.functions.CatalystHelpers.haversineMeanPath]]
+    * — the declarative zip_with/filter/aggregate form evaluated a ~20-node
+    * trig expression tree interpreted per point pair; kernel-vs-formula
+    * FP equality is spec-pinned in NewOpsSpec). */
+  def haversineMean(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("haversine_mean_path", a, b)
+
+  /** The declarative formula (the kernel's spec mirror). The null guard is
+    * EXPLICIT on the pair: the bare formula's `least(1.0, sqrt(null))`
+    * collapses to 1.0 (least skips nulls), so a null element used to
+    * become a phantom ~20,015 km antipodal distance instead of being
+    * skipped — a real bug the kernel-equality spec exposed (the reference's
+    * `if true_h3 and pred_h3` guard skips such pairs). */
+  private[graft] def haversineMeanDeclarative(a: Column, b: Column): Column = {
     val n = least(size(a), size(b))
     val pairDist = filter(
       zip_with(slice(a, lit(1), n), slice(b, lit(1), n), (p, q) =>
-        Gf.haversineM(p.getItem(0), p.getItem(1), q.getItem(0), q.getItem(1))),
+        when(p.isNotNull && q.isNotNull,
+          Gf.haversineM(p.getItem(0), p.getItem(1), q.getItem(0), q.getItem(1)))),
       x => x.isNotNull)
     when(size(pairDist) > 0,
       aggregate(pairDist, lit(0.0), (acc, x) => acc + x) / size(pairDist))
   }
 
   /** Element-wise exact-match fraction between two sequences (reference
-    * `sequence_accuracy`; zip truncates to the shorter). */
-  def sequenceAccuracy(a: Column, b: Column): Column = {
+    * `sequence_accuracy`; zip truncates to the shorter; `<=>` per element —
+    * python None == None is True, None == 'x' is False). One kernel pass;
+    * the declarative mirror below is its spec. */
+  def sequenceAccuracy(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("seq_accuracy", a, b)
+
+  private[graft] def sequenceAccuracyDeclarative(a: Column, b: Column): Column = {
     val n = least(size(a), size(b))
-    // null-SAFE comparison (<=>): python None == None is True and
-    // None == 'x' is False; a plain === would null-poison the whole mean
-    // on one null element
     val matches = zip_with(slice(a, lit(1), n), slice(b, lit(1), n),
       (x, y) => (x <=> y).cast("int"))
     when(size(matches) > 0,
@@ -62,9 +74,10 @@ object Trajectory {
   def dtwDistance(a: Column, b: Column): Column = Gf.dtwLatLng(a, b)
 
   /** H3-sequence variants: decode cell ids to [lat, lng] centers first
-    * (reference passes h3 index sequences). */
+    * (reference passes h3 index sequences). One kernel pass instead of a
+    * per-element transform lambda. */
   def h3ToPath(seq: Column): Column =
-    transform(seq, c => Gf.h3LatLng(Gf.h3FromStr(c)))
+    org.apache.spark.sql.functions.call_function("h3_seq_path", seq)
 
   /** HF HMP-task preprocessing (reference _base.py:502-521): split the
     * sequence at 85% (never empty y), x/y distinct-cell lengths, stratify

@@ -62,6 +62,47 @@ class NewOpsSpec extends AnyFunSuite {
 
   // ---- HMP / TTE preprocessing --------------------------------------
 
+  test("trajectory metric kernels == declarative zip_with formulas (bitwise)") {
+    // unequal lengths (zip truncation), null elements (skip / null-safe
+    // match), NaN coordinates, an empty side, string sequences with nulls
+    val paths = Seq(
+      (Seq(Some(Seq(51.1, 17.0)), Some(Seq(51.2, 17.1)), None),
+        Seq(Some(Seq(51.1, 17.0)), Some(Seq(52.0, 16.9)))),
+      (Seq(Some(Seq(0.0, 0.0))), Seq(Some(Seq(0.0, 180.0)), Some(Seq(1.0, 1.0)))),
+      (Seq.empty[Option[Seq[Double]]], Seq(Some(Seq(1.0, 1.0)))),
+      (Seq(Some(Seq(Double.NaN, 2.0))), Seq(Some(Seq(1.0, 2.0)))),
+      (Seq(None, None), Seq(Some(Seq(3.0, 4.0)), None)))
+      .toDF("a", "b")
+    val havRows = paths.select(
+      Trajectory.haversineMean(col("a"), col("b")).as("k"),
+      Trajectory.haversineMeanDeclarative(col("a"), col("b")).as("d")).collect()
+    havRows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), s"FP mismatch: $r")
+    }
+    val seqs = Seq(
+      (Seq(Some("a"), Some("b"), None, Some("c")), Seq(Some("a"), Some("x"), None)),
+      (Seq.empty[Option[String]], Seq(Some("z"))),
+      (Seq(Some("only")), Seq(Some("only"))),
+      (Seq(None), Seq(Some("v"))))
+      .toDF("a", "b")
+    val accRows = seqs.select(
+      Trajectory.sequenceAccuracy(col("a"), col("b")).as("k"),
+      Trajectory.sequenceAccuracyDeclarative(col("a"), col("b")).as("d")).collect()
+    accRows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1), s"mismatch: $r")
+    }
+    // h3_seq_path equals the per-element transform
+    val ids = Seq(Seq("861f0d487ffffff", "861f0d48fffffff")).toDF("s")
+    val p1 = ids.select(Trajectory.h3ToPath(col("s"))).collect()(0).getSeq[Seq[Double]](0)
+    val p2 = ids.select(transform(col("s"),
+      c => Gf.h3LatLng(Gf.h3FromStr(c)))).collect()(0).getSeq[Seq[Double]](0)
+    assert(p1 === p2)
+  }
+
   test("hmp split matches the reference's 85% rule incl. n=1 and full-split edge") {
     val df = Seq(
       (1L, Seq("a")), // int(1*0.85)=0 → x empty, y whole

@@ -149,13 +149,25 @@ class PlanSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.1f)))
       .toDF("vec_id", "embedding")
+    val geo = Seq((1L, -20.0, 30.0)).toDF("image_id", "lng", "lat")
+    val seqs = Seq((Seq("861f0d487ffffff"), Seq("861f0d487ffffff")))
+      .toDF("a", "b")
     val plans = Seq(
       "minhashPairs" -> Dedup.minhashPairs(docs, "doc_id", "text"),
       "simhashPairs" -> Dedup.simhashPairs(docs, "doc_id", "text"),
       "simhashJaccardPairs" -> Dedup.simhashJaccardPairs(docs, "doc_id", "text"),
       "cosineNearDupPairs" -> Similarity.cosineNearDupPairs(vecs, 0.9),
       "lshTopK" -> Similarity.lshTopK(vecs, vecs.limit(1), 5),
-      "bruteForceTopK" -> Similarity.bruteForceTopK(vecs, vecs.limit(1), 5))
+      "bruteForceTopK" -> Similarity.bruteForceTopK(vecs, vecs.limit(1), 5),
+      "patchGrid" -> graft.operators.Tiling.patchGrid(geo, 8, 10),
+      "hexTensor" -> graft.operators.Tiling.hexTensor(
+        Seq("861f0d487ffffff").toDF(graft.operators.Tables.RegionsIndex),
+        Seq(("861f0d487ffffff", 1.0)).toDF(graft.operators.Tables.RegionsIndex, "v"), 2, "v"),
+      "trajectoryMetrics" -> seqs.select(
+        graft.operators.Trajectory.sequenceAccuracy(col("a"), col("b")),
+        graft.operators.Trajectory.haversineMean(
+          graft.operators.Trajectory.h3ToPath(col("a")),
+          graft.operators.Trajectory.h3ToPath(col("b")))))
     for ((name, df) <- plans) {
       // walk the TREE, not the plan string — toString truncates wide field
       // lists at spark.sql.debug.maxToStringFields and would hide a lambda

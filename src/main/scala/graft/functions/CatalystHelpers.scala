@@ -84,9 +84,14 @@ object CatalystHelpers {
     val n = cells.numElements()
     while (c < n) {
       val row = cells.getStruct(c, 2)
+      require(!row.isNullAt(0) && !row.isNullAt(1),
+        "hex_dense_grid: null ij or value — fill/cast values upstream " +
+          "(a silent 0.0 would corrupt the tensor)")
       val ij = row.getArray(0)
-      val pos = (k + ij.getInt(0)) * side + (k - ij.getInt(1))
-      flat(pos) = row.getDouble(1)
+      val i = ij.getInt(0); val j = ij.getInt(1)
+      require(math.abs(i) <= k && math.abs(j) <= k,
+        s"hex_dense_grid: ij ($i, $j) outside the k=$k disk")
+      flat((k + i) * side + (k - j)) = row.getDouble(1)
       c += 1
     }
     val rows = new Array[Any](side)
@@ -180,7 +185,10 @@ object CatalystHelpers {
     while (i < n) {
       if (!a.isNullAt(i) && !b.isNullAt(i)) {
         val p = a.getArray(i); val q = b.getArray(i)
-        if (!p.isNullAt(0) && !p.isNullAt(1) && !q.isNullAt(0) && !q.isNullAt(1)) {
+        // ragged elements (fewer than 2 coordinates) skip like the
+        // declarative getItem-returns-null path — never an index read
+        if (p.numElements() >= 2 && q.numElements() >= 2 &&
+            !p.isNullAt(0) && !p.isNullAt(1) && !q.isNullAt(0) && !q.isNullAt(1)) {
           val lat1 = p.getDouble(0); val lng1 = p.getDouble(1)
           val lat2 = q.getDouble(0); val lng2 = q.getDouble(1)
           val h = math.pow(math.sin(math.toRadians(lat2 - lat1) / 2), 2) +
@@ -223,6 +231,10 @@ object CatalystHelpers {
           case org.apache.spark.sql.types.FloatType =>
             val x = va.asInstanceOf[Float]; val y = vb.asInstanceOf[Float]
             x == y || (x.isNaN && y.isNaN)
+          case org.apache.spark.sql.types.BinaryType =>
+            // Scala == on Array[Byte] is reference equality — by value here
+            java.util.Arrays.equals(va.asInstanceOf[Array[Byte]],
+              vb.asInstanceOf[Array[Byte]])
           case _ => va == vb
         }
         if (equal) matches += 1

@@ -85,6 +85,8 @@ object Gf {
     "video_frame_sample" -> (e => VideoFrameSample(e(0), e(1))),
     "bytes_mean" -> (e => BytesMean(e(0))),
     "wav_encode" -> (e => WavEncode(e(0), e(1), e(2))),
+    "wav_decode" -> (e => WavDecode(e(0))),
+    "avi_header" -> (e => AviHeader(e(0))),
     "wav_pcm" -> (e => WavPcm(e(0))),
     "wav_sample_rate" -> (e => WavSampleRate(e(0))),
     "wav_channels" -> (e => WavChannels(e(0))),

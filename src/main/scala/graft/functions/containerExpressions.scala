@@ -323,6 +323,36 @@ case class WavChannels(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+case class WavDecode(child: Expression) extends UnaryExpression
+    with codegen.CodegenFallback {
+  override def prettyName: String = "wav_decode"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pcm", BinaryType, nullable = false)))
+  override def nullSafeEval(b: Any): Any = {
+    val w = RiffOps.wavDecode(b.asInstanceOf[Array[Byte]])
+    org.apache.spark.sql.catalyst.InternalRow(w.sampleRate, w.channels, w.pcm)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class AviHeader(child: Expression) extends UnaryExpression
+    with codegen.CodegenFallback {
+  override def prettyName: String = "avi_header"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("w", IntegerType, nullable = false),
+    StructField("h", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+  override def nullSafeEval(b: Any): Any = {
+    val (w, h, n) = RiffOps.aviHeader(b.asInstanceOf[Array[Byte]])
+    org.apache.spark.sql.catalyst.InternalRow(w, h, n)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 case class AviMjpegEncode(first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression
     with codegen.CodegenFallback {

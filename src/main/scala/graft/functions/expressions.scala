@@ -386,6 +386,18 @@ case class SeqAccuracy(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   private lazy val elemType =
     left.dataType.asInstanceOf[ArrayType].elementType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _)) if l == r &&
+          !l.isInstanceOf[ArrayType] && !l.isInstanceOf[StructType] &&
+          !l.isInstanceOf[MapType] =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        // nested element types would fall into reference equality in the
+        // kernel — refuse at analysis like the old <=> refused mismatches
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"seq_accuracy needs two arrays of the same ATOMIC element type, got $l / $r")
+    }
   override def nullSafeEval(a: Any, b: Any): Any =
     CatalystHelpers.seqAccuracy(
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],

@@ -44,10 +44,16 @@ object Trajectory {
     * `if true_h3 and pred_h3` guard skips such pairs). */
   private[graft] def haversineMeanDeclarative(a: Column, b: Column): Column = {
     val n = least(size(a), size(b))
+    // element access via get() (null out of bounds) — under ANSI mode
+    // getItem THROWS on a ragged (<2-coordinate) element; a malformed
+    // element must skip its pair, exactly like the kernel's length guard
+    def c(e: Column, i: Int) = get(e, lit(i))
     val pairDist = filter(
       zip_with(slice(a, lit(1), n), slice(b, lit(1), n), (p, q) =>
-        when(p.isNotNull && q.isNotNull,
-          Gf.haversineM(p.getItem(0), p.getItem(1), q.getItem(0), q.getItem(1)))),
+        when(p.isNotNull && q.isNotNull &&
+          c(p, 0).isNotNull && c(p, 1).isNotNull &&
+          c(q, 0).isNotNull && c(q, 1).isNotNull,
+          Gf.haversineM(c(p, 0), c(p, 1), c(q, 0), c(q, 1)))),
       x => x.isNotNull)
     when(size(pairDist) > 0,
       aggregate(pairDist, lit(0.0), (acc, x) => acc + x) / size(pairDist))

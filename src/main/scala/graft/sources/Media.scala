@@ -18,15 +18,18 @@ import org.apache.spark.sql.functions._
 object Media {
 
   /** (path, length, sample_rate, channels, pcm) for every `*.wav` under
-    * `dir`. The RIFF chunk walk + PCM16 guard run per row. */
+    * `dir`. ONE RIFF parse per file (the struct-returning `wav_decode`) —
+    * three scalar accessors would each re-walk the chunks and copy the
+    * whole data payload. */
   def readWavDir(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.wav")
       .load(dir)
       .select(col("path"), col("length"),
-        call_function("wav_sample_rate", col("content")).as("sample_rate"),
-        call_function("wav_channels", col("content")).as("channels"),
-        call_function("wav_pcm", col("content")).as("pcm"))
+        call_function("wav_decode", col("content")).as("w"))
+      .select(col("path"), col("length"),
+        col("w.sample_rate").as("sample_rate"),
+        col("w.channels").as("channels"), col("w.pcm").as("pcm"))
 
   /** Windowed RMS + zero-crossing features for every `*.wav` under `dir` —
     * the audio-quality filtering projection of a training-data pipeline. */
@@ -38,16 +41,18 @@ object Media {
 
   /** (path, w, h, n_frames, frame_idx, jpeg) — one row per frame of every
     * `*.avi` under `dir`; `jpeg` is the complete per-frame JPEG payload,
-    * ready for the img_* decode surface. */
+    * ready for the img_* decode surface. One header parse per file
+    * (struct-returning `avi_header`), and zero-frame files KEEP their
+    * file-level row (outer explode: frame_idx/jpeg null) so directory
+    * inventories never undercount. */
   def readAviFrames(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.avi")
       .load(dir)
-      .select(col("path"),
-        call_function("avi_width", col("content")).as("w"),
-        call_function("avi_height", col("content")).as("h"),
-        call_function("avi_frame_count", col("content")).as("n_frames"),
-        posexplode(call_function("avi_frames", col("content"))))
+      .select(col("path"), call_function("avi_header", col("content")).as("hd"),
+        call_function("avi_frames", col("content")).as("frames"))
+      .select(col("path"), col("hd.w").as("w"), col("hd.h").as("h"),
+        col("hd.n_frames").as("n_frames"), posexplode_outer(col("frames")))
       .select(col("path"), col("w"), col("h"), col("n_frames"),
         col("pos").cast("int").as("frame_idx"), col("col").as("jpeg"))
 }

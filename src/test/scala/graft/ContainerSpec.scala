@@ -178,15 +178,24 @@ class ContainerSpec extends AnyFunSuite {
         MediaOps.audioRmsWindows(pcm, 256).toSeq)
     }
 
+    // a valid zero-frame AVI must keep its file-level row (outer explode)
+    java.nio.file.Files.write(dir.resolve("vid_empty.avi"),
+      RiffOps.aviMjpegEncode(Array.empty[Array[Byte]], 16, 16, 8))
+
     val avi = graft.sources.Media.readAviFrames(spark, dir.toString)
-    assert(avi.count() === 15) // 5 files × 3 frames
+    assert(avi.count() === 16) // 5 files × 3 frames + 1 empty-file row
+    val empty = avi.where(col("path").endsWith("vid_empty.avi")).collect()
+    assert(empty.length === 1 && empty(0).getAs[Int]("n_frames") === 0 &&
+      empty(0).isNullAt(empty(0).fieldIndex("jpeg")))
+    val frames = avi.where(col("jpeg").isNotNull)
+    assert(frames.count() === 15)
     val one = avi.where(col("path").endsWith("vid_2.avi") && col("frame_idx") === 1)
       .collect()(0)
     assert(one.getAs[Int]("w") === 16 && one.getAs[Int]("n_frames") === 3)
     assert(java.util.Arrays.equals(one.getAs[Array[Byte]]("jpeg"),
       RiffOps.frameSynth(2L, 1, 16, 16, "jpeg")))
     // payloads decode through the real JPEG path
-    val dims = avi.select(
+    val dims = frames.select(
       call_function("img_width", col("jpeg")).as("jw"),
       call_function("img_height", col("jpeg")).as("jh")).collect()
     assert(dims.forall(r => r.getInt(0) == 16 && r.getInt(1) == 16))

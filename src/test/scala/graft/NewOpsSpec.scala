@@ -95,6 +95,34 @@ class NewOpsSpec extends AnyFunSuite {
       assert(r.isNullAt(0) === r.isNullAt(1), s"null mismatch: $r")
       if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1), s"mismatch: $r")
     }
+    // inner-null coordinates and RAGGED elements skip the pair on BOTH
+    // sides (the equality spec originally exposed the declarative form
+    // turning a null coordinate into a phantom antipodal distance)
+    val tricky = Seq(
+      (Seq(Some(Seq(Option.empty[Double], Some(17.0))), Some(Seq(Some(51.0), Some(17.0)))),
+        Seq(Some(Seq(Some(51.0), Some(17.0))), Some(Seq(Some(51.5), Some(17.2))))),
+      (Seq(Some(Seq(Some(51.0)))), Seq(Some(Seq(Some(51.0), Some(17.0))))))
+      .toDF("a", "b")
+    val trickyRows = tricky.select(
+      Trajectory.haversineMean(col("a"), col("b")).as("k"),
+      Trajectory.haversineMeanDeclarative(col("a"), col("b")).as("d")).collect()
+    trickyRows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), s"FP mismatch: $r")
+    }
+    // binary sequences compare BY VALUE (Scala == on Array[Byte] is
+    // reference equality — the kernel must not fall into it)
+    val bin = Seq((Seq(Array[Byte](1, 2), Array[Byte](3)),
+      Seq(Array[Byte](1, 2), Array[Byte](9)))).toDF("a", "b")
+    assert(bin.select(Trajectory.sequenceAccuracy(col("a"), col("b")))
+      .collect()(0).getDouble(0) === 0.5)
+    // nested element types are refused at analysis, not silently zeroed
+    val nested = Seq((Seq(Seq(1, 2)), Seq(Seq(1, 2)))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException](
+      nested.select(Trajectory.sequenceAccuracy(col("a"), col("b"))).collect())
+
     // h3_seq_path equals the per-element transform
     val ids = Seq(Seq("861f0d487ffffff", "861f0d48fffffff")).toDF("s")
     val p1 = ids.select(Trajectory.h3ToPath(col("s"))).collect()(0).getSeq[Seq[Double]](0)

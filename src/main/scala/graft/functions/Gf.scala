@@ -96,6 +96,8 @@ object Gf {
     "avi_height" -> (e => AviHeight(e(0))),
     "avi_frame_count" -> (e => AviFrameCount(e(0))),
     "frame_synth" -> (e => FrameSynth(e(0), e(1), e(2), e(3), e(4))),
+    "warn_large_bucket" -> (e => WarnLargeBucket(e(0), e(1),
+      e(2).eval().asInstanceOf[Number].longValue(), e(3).eval().toString)),
     "topk_agg" -> (e => TopKAgg(e(0), e(1), e(2))),
     "st_union_agg" -> (e => StUnionAgg(e(0))))
 

@@ -60,11 +60,29 @@ object Dedup {
     * (10⁴ rows ≈ 5·10⁷ pairs in ONE bucket is already pathological).
     * Implemented as a count window over the bucket keys — ONE evaluation
     * of the (expensive, signature-bearing) banded input and one exchange,
-    * not a build/probe pair that would run the signature stage twice. */
+    * not a build/probe pair that would run the signature stage twice.
+    *
+    * UNCAPPED mode (`maxBucketSize <= 0`, the exhaustive-recall setting)
+    * keeps every bucket but is no longer silent about degenerate ones:
+    * when `warnTag` is set, the same count window feeds a pass-through
+    * [[graft.functions.WarnLargeBucket]] on the id column, logging (once
+    * per JVM per tag) any block over `warnOver` rows — the n² blowup of a
+    * boilerplate cluster becomes diagnosable in the executor logs instead
+    * of an anonymous stage sink. The window's (keys) exchange+sort is the
+    * same shape the self-join needs next, so the added cost is one sorted
+    * pass, not a new join. */
   private[operators] def capBuckets(banded: DataFrame, keys: Seq[String],
-                                    maxBucketSize: Int): DataFrame = {
-    if (maxBucketSize <= 0) return banded
+                                    maxBucketSize: Int,
+                                    warnTag: String = null,
+                                    warnOver: Int = 10000): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    if (maxBucketSize <= 0) {
+      if (warnTag == null || warnOver <= 0) return banded
+      return banded.withColumn("__bsz", count(lit(1)).over(w))
+        .withColumn("id", call_function("warn_large_bucket",
+          col("id"), col("__bsz"), lit(warnOver.toLong), lit(warnTag)))
+        .drop("__bsz")
+    }
     banded.withColumn("__bsz", count(lit(1)).over(w))
       .where(col("__bsz") <= maxBucketSize)
       .drop("__bsz")
@@ -165,12 +183,14 @@ object Dedup {
     * block, which is exactly what the hamming filter must see to stay
     * exhaustive. Pass `maxBucketSize > 0` to trade that guarantee for a
     * bound on degenerate blocks (boilerplate clusters), as
-    * [[simhashJaccardPairs]] does by default. */
+    * [[simhashJaccardPairs]] does by default. Uncapped blocks beyond the
+    * old 10k bound log a loud executor-side warning (round-5, see
+    * [[capBuckets]]) so the n² blowup is diagnosable, never silent. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    maxBucketSize: Int = 0): DataFrame = {
     val banded = capBuckets(simhashBanded(df, idCol, textCol),
-      Seq("band", "chunk"), maxBucketSize)
+      Seq("band", "chunk"), maxBucketSize, warnTag = "simhashPairs")
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "chunk"))

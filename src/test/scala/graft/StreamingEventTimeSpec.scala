@@ -10,12 +10,16 @@ import graft.streaming.Streams
 import graft.streaming.Streams.{FragState, SessEventTs, SessFrag, SessionRow}
 
 /** Event-time sessionization: out-of-order events across micro-batches must
-  * converge to the batch q09 session set. The engine-side stateful query
-  * cannot be drained on this host (state-store maintenance hang, round-3
-  * note), so the spec drives the EXACT transition function the engine would
-  * call — [[Streams.sessionizeEventTimeFunc]] — through Spark's own
+  * converge to the batch q09 session set. This spec drives the EXACT
+  * transition function the engine calls —
+  * [[Streams.sessionizeEventTimeFunc]] — through Spark's own
   * [[TestGroupState]] harness, batch by batch, with the engine's watermark
-  * rule (max event time seen in prior batches − delay). */
+  * rule (max event time seen in prior batches − delay): fast, deterministic
+  * unit coverage of every merge/bridge/flush path. The REAL micro-batch
+  * engine (MemoryStream → flatMapGroupsWithState → memory sink) is
+  * certified separately by [[StreamingEngineSpec]] (round-5) — the
+  * state-store hang earlier rounds documented on this host no longer
+  * reproduces under either provider. */
 class StreamingEventTimeSpec extends AnyFunSuite {
   import SparkTestSession.spark
 

@@ -271,10 +271,10 @@ object SparkEntry {
     // --- P6: geometry sha256 (reference get_geometry_hash,
     // srai/geometry.py:133-138 — SHA256 over the WKT string). Integer-valued
     // coordinates make our JTS WKT byte-reconstructible in SQL ("POINT (3 1)");
-    // the hash composition sha2∘st_astext is what this row certifies.
-    // (Formatting deviation vs shapely's wkt.dumps fixed-precision decimals
-    // is documented: the hash keys OUR canonical WKT, stable across the
-    // engine, not shapely's byte layout.) ---
+    // the hash composition sha2∘st_astext is what this row certifies over
+    // the engine's canonical WKT. (Shapely's wkt.dumps byte layout —
+    // fixed 16-decimal coordinates — is certified separately by q59 via
+    // st_astext_shapely, so both hash streams are available.) ---
     "q56_geom_sha256" -> ((s, dir) => {
       val x = col("n_nationkey") % 10
       val y = col("n_nationkey") % 5
@@ -282,6 +282,26 @@ object SparkEntry {
           col("n_nationkey").as("id"),
           sha2(Gf.stAsText(Gf.stPoint(x, y)), 256).as("sha_point"),
           sha2(Gf.stAsText(Gf.stBox(x, y, x + 2, y + 3)), 256).as("sha_box"))
+        .orderBy("id")
+    }),
+
+    // --- P6 shapely parity (round-5): st_astext_shapely reproduces
+    // shapely wkt.dumps' fixed 16-decimal byte layout, so the sha256
+    // stream interchanges with reference get_geometry_hash
+    // (srai/geometry.py:133-138) on NON-integer coordinates — closing the
+    // q56 formatting deviation. The oracle rebuilds the exact bytes with
+    // DuckDB printf('%.16f') (validated bit-equal to CPython/glibc
+    // formatting); the raw point WKT is also compared as a STRING so a
+    // mismatch is readable, not just a hash diff. ---
+    "q59_geom_sha256_shapely" -> ((s, dir) => {
+      val x = col("n_nationkey").cast("double") * 0.1 - 1.2
+      val y = col("n_nationkey").cast("double") * 0.05 + 0.3
+      t(prep(s), dir, "nation").select(
+          col("n_nationkey").as("id"),
+          Gf.stAsTextShapely(Gf.stPoint(x, y)).as("wkt_point"),
+          sha2(Gf.stAsTextShapely(Gf.stPoint(x, y)), 256).as("sha_point"),
+          sha2(Gf.stAsTextShapely(Gf.stBox(x, y, x + 2.4, y + 3.7)), 256)
+            .as("sha_box"))
         .orderBy("id")
     }),
 
@@ -1307,6 +1327,29 @@ object SparkEntry {
         |    (n_nationkey % 10) || ' ' || (n_nationkey % 5 + 3) || ', ' ||
         |    (n_nationkey % 10) || ' ' || (n_nationkey % 5) || '))') AS sha_box
         |FROM nation ORDER BY id""".stripMargin,
+
+    "q59_geom_sha256_shapely" ->
+      """WITH c AS (
+        |  SELECT n_nationkey AS id,
+        |    CAST(n_nationkey AS DOUBLE) * CAST(0.1 AS DOUBLE) - CAST(1.2 AS DOUBLE) AS x,
+        |    CAST(n_nationkey AS DOUBLE) * CAST(0.05 AS DOUBLE) + CAST(0.3 AS DOUBLE) AS y
+        |  FROM nation),
+        |g AS (
+        |  SELECT id, x, y,
+        |    x + CAST(2.4 AS DOUBLE) AS x2, y + CAST(3.7 AS DOUBLE) AS y2 FROM c),
+        |s AS (
+        |  SELECT id,
+        |    'POINT (' || printf('%.16f', x) || ' ' || printf('%.16f', y) || ')' AS wkt_point,
+        |    'POLYGON ((' ||
+        |      printf('%.16f', x) || ' ' || printf('%.16f', y) || ', ' ||
+        |      printf('%.16f', x2) || ' ' || printf('%.16f', y) || ', ' ||
+        |      printf('%.16f', x2) || ' ' || printf('%.16f', y2) || ', ' ||
+        |      printf('%.16f', x) || ' ' || printf('%.16f', y2) || ', ' ||
+        |      printf('%.16f', x) || ' ' || printf('%.16f', y) || '))' AS wkt_box
+        |  FROM g)
+        |SELECT id, wkt_point, sha256(wkt_point) AS sha_point,
+        |  sha256(wkt_box) AS sha_box
+        |FROM s ORDER BY id""".stripMargin,
 
     "q50_s2_within_refine" ->
       """SELECT region_id

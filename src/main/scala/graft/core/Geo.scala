@@ -27,6 +27,72 @@ object Geo {
   def toWkt(g: Geometry): String = wktWriter.get.write(g)
   def wktToWkb(s: String): Array[Byte] = toWkb(fromWkt(s))
 
+  /** One coordinate in shapely's `wkt.dumps` byte layout: C `printf
+    * "%.16f"` — fixed 16 decimals, correctly rounded ties-to-even on the
+    * EXACT binary value, sign preserved even when the value rounds to
+    * zero. `new BigDecimal(double)` is the exact binary expansion, so
+    * `setScale(16, HALF_EVEN)` reproduces glibc/fmt/CPython formatting
+    * bit-for-bit (validated against CPython and DuckDB `printf` on
+    * negative-zero, tiny-negative and tie-adjacent anchors). */
+  private[graft] def fmt16(d: Double): String = {
+    require(!d.isNaN && !d.isInfinite, s"non-finite coordinate: $d")
+    val s = new java.math.BigDecimal(d)
+      .setScale(16, java.math.RoundingMode.HALF_EVEN).toPlainString
+    val negative = d < 0.0 ||
+      (d == 0.0 && java.lang.Double.doubleToRawLongBits(d) != 0L)
+    if (negative && !s.startsWith("-")) "-" + s else s
+  }
+
+  private def seq16(cs: Array[Coordinate]): String =
+    cs.map(c => s"${fmt16(c.x)} ${fmt16(c.y)}").mkString(", ")
+
+  private def rings16(p: Polygon): String =
+    (Seq(p.getExteriorRing) ++
+      (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
+      .map(r => s"(${seq16(r.getCoordinates)})").mkString(", ")
+
+  /** WKT in the exact byte layout of shapely's `wkt.dumps(geometry)`
+    * (trim=False, rounding_precision=-1 → GEOS WKTWriter fixed 16-decimal
+    * coordinates), so `sha256(toWktShapely(g))` interchanges with the
+    * reference's `get_geometry_hash` (srai/geometry.py:133-138) on ANY
+    * coordinates, not only integer-valued ones (the round-4 q56 deviation).
+    * Structure notes: 2D only (the engine is lon/lat 2D throughout);
+    * MULTIPOINT uses GEOS's historical un-parenthesized member form
+    * (`MULTIPOINT (1 1, 2 2)` — what shapely>=2.0.1, the reference's pin,
+    * emits); srai hashes regionalizer polygons in practice, where JTS and
+    * GEOS structural layout agree. */
+  def toWktShapely(g: Geometry): String = g match {
+    case p: Point =>
+      if (p.isEmpty) "POINT EMPTY" else s"POINT (${seq16(p.getCoordinates)})"
+    case l: LinearRing =>
+      if (l.isEmpty) "LINEARRING EMPTY"
+      else s"LINEARRING (${seq16(l.getCoordinates)})"
+    case l: LineString =>
+      if (l.isEmpty) "LINESTRING EMPTY"
+      else s"LINESTRING (${seq16(l.getCoordinates)})"
+    case p: Polygon =>
+      if (p.isEmpty) "POLYGON EMPTY" else s"POLYGON (${rings16(p)})"
+    case m: MultiPoint =>
+      if (m.isEmpty) "MULTIPOINT EMPTY"
+      else s"MULTIPOINT (${seq16(m.getCoordinates)})"
+    case m: MultiLineString =>
+      if (m.isEmpty) "MULTILINESTRING EMPTY"
+      else "MULTILINESTRING (" +
+        (0 until m.getNumGeometries).map(i =>
+          s"(${seq16(m.getGeometryN(i).getCoordinates)})").mkString(", ") + ")"
+    case m: MultiPolygon =>
+      if (m.isEmpty) "MULTIPOLYGON EMPTY"
+      else "MULTIPOLYGON (" +
+        (0 until m.getNumGeometries).map(i =>
+          s"(${rings16(m.getGeometryN(i).asInstanceOf[Polygon])})")
+          .mkString(", ") + ")"
+    case c: GeometryCollection =>
+      if (c.isEmpty) "GEOMETRYCOLLECTION EMPTY"
+      else "GEOMETRYCOLLECTION (" +
+        (0 until c.getNumGeometries).map(i =>
+          toWktShapely(c.getGeometryN(i))).mkString(", ") + ")"
+  }
+
   def point(lng: Double, lat: Double): Geometry =
     factory.createPoint(new Coordinate(lng, lat))
 

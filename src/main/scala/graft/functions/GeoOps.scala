@@ -63,6 +63,7 @@ object GeoOps {
   // ---- constructors / converters ----
   def geomFromText(wkt: String): Array[Byte] = Geo.wktToWkb(wkt)
   def asText(wkb: Array[Byte]): String = Geo.toWkt(Geo.fromWkb(wkb))
+  def asTextShapely(wkb: Array[Byte]): String = Geo.toWktShapely(Geo.fromWkb(wkb))
   def makePoint(lng: Double, lat: Double): Array[Byte] = Geo.toWkb(Geo.point(lng, lat))
 
   /** Axis-aligned box polygon — the footprint hot path (no WKT round-trip). */

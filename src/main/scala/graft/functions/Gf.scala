@@ -23,6 +23,7 @@ object Gf {
     "st_intersection" -> (e => StIntersection(e(0), e(1))),
     "st_geomfromtext" -> (e => StGeomFromText(e(0))),
     "st_astext" -> (e => StAsText(e(0))),
+    "st_astext_shapely" -> (e => StAsTextShapely(e(0))),
     "st_point" -> (e => StPoint(e(0), e(1))),
     "st_box" -> (e => StBox(e(0), e(1), e(2), e(3))),
     "st_area" -> (e => StArea(e(0))),
@@ -122,6 +123,7 @@ object Gf {
   def stIntersection(a: Column, b: Column): Column = call_function("st_intersection", a, b)
   def stGeomFromText(a: Column): Column = call_function("st_geomfromtext", a)
   def stAsText(a: Column): Column = call_function("st_astext", a)
+  def stAsTextShapely(a: Column): Column = call_function("st_astext_shapely", a)
   def stPoint(lng: Column, lat: Column): Column =
     call_function("st_point", lng.cast("double"), lat.cast("double"))
   def stBox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =

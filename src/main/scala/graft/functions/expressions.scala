@@ -107,6 +107,23 @@ case class StAsText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** st_astext_shapely(geom) — WKT in shapely `wkt.dumps` byte layout
+  * (fixed 16-decimal coordinates), so sha2(st_astext_shapely(g), 256)
+  * interchanges with the reference's get_geometry_hash
+  * (srai/geometry.py:133-138) on non-integer coordinates too. */
+case class StAsTextShapely(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "st_astext_shapely"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      GeoOps.asTextShapely(v.asInstanceOf[Array[Byte]]))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"org.apache.spark.unsafe.types.UTF8String.fromString($G.asTextShapely($v))")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 case class StPoint(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "st_point"

@@ -37,6 +37,45 @@ class CoreEdgeSpec extends AnyFunSuite {
       S2.childrenAtLevel(S2.parent(leaf, 0), 16)) // 4^16 children: refuse
   }
 
+  test("fmt16 matches C printf %.16f on sign/tie/zero anchors (shapely parity)") {
+    // golden values from CPython f"{v:.16f}" (same correctly-rounded
+    // fixed formatting as glibc printf and DuckDB printf — the formatter
+    // shapely's wkt.dumps coordinates go through)
+    val anchors = Seq(
+      0.0 -> "0.0000000000000000",
+      -0.0 -> "-0.0000000000000000",
+      1.0 -> "1.0000000000000000",
+      0.1 -> "0.1000000000000000",
+      123.456 -> "123.4560000000000031",
+      -17.05 -> "-17.0500000000000007",
+      1e-17 -> "0.0000000000000000",
+      -1e-17 -> "-0.0000000000000000",
+      2.5e-16 -> "0.0000000000000003",
+      123456789.123456789 -> "123456789.1234567910432816",
+      1.7976931348623157e+10 -> "17976931348.6231575012207031",
+      51.1106 -> "51.1105999999999980",
+      17.0297 -> "17.0296999999999983",
+      -0.5 -> "-0.5000000000000000",
+      3.0000000000000004 -> "3.0000000000000004")
+    for ((v, want) <- anchors)
+      assert(graft.core.Geo.fmt16(v) === want, s"fmt16($v)")
+    intercept[IllegalArgumentException](graft.core.Geo.fmt16(Double.NaN))
+    // structural layout: point, polygon with hole, multipolygon
+    import graft.core.Geo
+    assert(Geo.toWktShapely(Geo.point(0.1, -0.5)) ===
+      "POINT (0.1000000000000000 -0.5000000000000000)")
+    assert(Geo.toWktShapely(Geo.fromWkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")) ===
+      "POLYGON ((0.0000000000000000 0.0000000000000000, 4.0000000000000000 0.0000000000000000, " +
+      "4.0000000000000000 4.0000000000000000, 0.0000000000000000 4.0000000000000000, " +
+      "0.0000000000000000 0.0000000000000000), (1.0000000000000000 1.0000000000000000, " +
+      "2.0000000000000000 1.0000000000000000, 2.0000000000000000 2.0000000000000000, " +
+      "1.0000000000000000 2.0000000000000000, 1.0000000000000000 1.0000000000000000))")
+    assert(Geo.toWktShapely(Geo.fromWkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")) ===
+      "MULTIPOLYGON (((0.0000000000000000 0.0000000000000000, 1.0000000000000000 0.0000000000000000, " +
+      "1.0000000000000000 1.0000000000000000, 0.0000000000000000 0.0000000000000000)))")
+    assert(Geo.toWktShapely(Geo.fromWkt("POLYGON EMPTY")) === "POLYGON EMPTY")
+  }
+
   test("image dims are header-only and fail clearly on undecodable bytes") {
     val px = Array.tabulate(12)(i => i * 1000)
     val png = ImageOps.encode(px, 4, 3, "png")

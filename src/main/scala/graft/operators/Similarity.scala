@@ -18,6 +18,82 @@ import graft.functions.Gf
   * per surviving candidate. */
 object Similarity {
 
+  /** Auto-tuned LSH parameters (see [[suggestLsh]]): `sampledOccupancy` is
+    * the estimated probability that two random corpus rows share a
+    * single-table bucket at `planes` planes — the direct driver of
+    * candidate-join cost. */
+  final case class LshParams(planes: Int, tables: Int, sampledOccupancy: Double)
+
+  /** Pick (planes, tables) from the CORPUS, the way
+    * [[IntersectionJoiner.auto]] picks the cell level from the region set:
+    * sample signature-bucket occupancy to size `planes`, then solve the
+    * standard hyperplane-LSH recall model for `tables`.
+    *
+    *  - planes — walk up through candidate counts until the sampled
+    *    collision probability Σ(m_b/S)² drops under `maxOccupancy`
+    *    (candidate volume ∝ occupancy × n² — the 100-TB cost knob), BUT
+    *    stop early when an extra step stops helping (< 15% relative drop):
+    *    a clustered corpus (boilerplate/duplicate embeddings — the
+    *    realistic web case) has an IRREDUCIBLE collision mass that more
+    *    planes can never split; cranking planes past it only destroys
+    *    organic recall while the duplicate mass keeps colliding. The cap
+    *    in [[cosineNearDupPairs]] is the tool for that mass, not planes.
+    *  - tables — per-table collision prob for a pair at cosine c is
+    *    q^planes with q = 1 − acos(c)/π; the smallest T with
+    *    1−(1−q^planes)^T ≥ recallTarget (clamped to [1,16]).
+    *
+    * `designCos` is the cosine at which the recall target must hold — the
+    * similarity of the pairs that MUST be found (e.g. 0.97 for near-exact
+    * duplicates), usually above the verification threshold, which only
+    * gates what survives. Sampling is seeded (deterministic across
+    * retries) and plans as a per-partition top-K, never a global sort. */
+  def suggestLsh(corpus: DataFrame, designCos: Double,
+                 recallTarget: Double = 0.95, maxOccupancy: Double = 0.01,
+                 sampleSize: Int = 2048,
+                 vecCol: String = "embedding"): LshParams = {
+    require(designCos > -1.0 && designCos < 1.0, s"designCos out of (-1,1): $designCos")
+    require(recallTarget > 0.0 && recallTarget < 1.0, s"recallTarget out of (0,1)")
+    val rows = corpus.select(col(vecCol))
+      .orderBy(rand(20260817L)).limit(sampleSize).collect()
+    require(rows.nonEmpty, "suggestLsh: empty corpus")
+    val vecs = rows.map(r => r.getSeq[Float](0).toArray)
+
+    def occupancy(p: Int): Double = {
+      val counts = new java.util.HashMap[java.lang.Long, Integer]()
+      vecs.foreach { v =>
+        val sig = graft.functions.VecTextOps.hyperplaneSig(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), p, 2000L)
+        counts.merge(sig, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      }
+      var s2 = 0.0
+      counts.values.forEach(c => s2 += c.toDouble * c.toDouble)
+      s2 / (vecs.length.toDouble * vecs.length)
+    }
+
+    val ladder = Seq(4, 6, 8, 10, 12, 16, 20, 24)
+    var planes = ladder.head
+    var occ = occupancy(planes)
+    var i = 1
+    var done = occ <= maxOccupancy
+    while (!done && i < ladder.length) {
+      val next = occupancy(ladder(i))
+      if (next > occ * 0.85) done = true // plateau: irreducible cluster mass
+      else {
+        planes = ladder(i); occ = next
+        done = occ <= maxOccupancy
+        i += 1
+      }
+    }
+
+    val q = 1.0 - math.acos(designCos) / math.Pi
+    val perTable = math.pow(q, planes)
+    val tables =
+      if (perTable >= recallTarget) 1
+      else math.min(16, math.max(1,
+        math.ceil(math.log1p(-recallTarget) / math.log1p(-perTable)).toInt))
+    LshParams(planes, tables, occ)
+  }
+
   /** Rank rows of a bounded `topk_agg` result array: (query_id, neighbor_id,
     * cosine, rank) with rank 1..k by (cosine desc, neighbor_id asc). */
   private def explodeTopK(grouped: DataFrame): DataFrame =

@@ -56,11 +56,14 @@ object Geo {
     * coordinates), so `sha256(toWktShapely(g))` interchanges with the
     * reference's `get_geometry_hash` (srai/geometry.py:133-138) on ANY
     * coordinates, not only integer-valued ones (the round-4 q56 deviation).
-    * Structure notes: 2D only (the engine is lon/lat 2D throughout);
-    * MULTIPOINT uses GEOS's historical un-parenthesized member form
-    * (`MULTIPOINT (1 1, 2 2)` — what shapely>=2.0.1, the reference's pin,
-    * emits); srai hashes regionalizer polygons in practice, where JTS and
-    * GEOS structural layout agree. */
+    * Structure notes: 2D only (the engine is lon/lat 2D throughout).
+    * MULTIPOINT uses the un-parenthesized member form
+    * (`MULTIPOINT (1 1, 2 2)`) that GEOS < 3.12 emits; GEOS 3.12+ writes
+    * parenthesized members, so a reference environment on a newer wheel
+    * differs FOR MULTIPOINT ONLY — srai hashes regionalizer
+    * polygons/multipolygons in practice, whose layout is identical across
+    * GEOS versions (and to JTS). Pin-check multipoint hashes before
+    * relying on them cross-system. */
   def toWktShapely(g: Geometry): String = g match {
     case p: Point =>
       if (p.isEmpty) "POINT EMPTY" else s"POINT (${seq16(p.getCoordinates)})"

@@ -97,8 +97,17 @@ object Gf {
     "avi_height" -> (e => AviHeight(e(0))),
     "avi_frame_count" -> (e => AviFrameCount(e(0))),
     "frame_synth" -> (e => FrameSynth(e(0), e(1), e(2), e(3), e(4))),
-    "warn_large_bucket" -> (e => WarnLargeBucket(e(0), e(1),
-      e(2).eval().asInstanceOf[Number].longValue(), e(3).eval().toString)),
+    "warn_large_bucket" -> (e => {
+      // threshold/tag must be non-null literals — validated here with a
+      // readable error instead of an analysis-time NPE or "cannot
+      // evaluate" from an eager eval() on a column reference
+      require(e.length == 4 && e(2).foldable && e(3).foldable,
+        "warn_large_bucket(value, bucket_count, threshold, tag): threshold and tag must be literals")
+      val thr = e(2).eval(); val tag = e(3).eval()
+      require(thr != null && tag != null,
+        "warn_large_bucket: threshold and tag must be non-null")
+      WarnLargeBucket(e(0), e(1), thr.asInstanceOf[Number].longValue(), tag.toString)
+    }),
     "topk_agg" -> (e => TopKAgg(e(0), e(1), e(2))),
     "st_union_agg" -> (e => StUnionAgg(e(0))))
 

@@ -65,10 +65,14 @@ case class WarnLargeBucket(value: Expression, bucketCount: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val v = value.genCode(ctx)
     val c = bucketCount.genCode(ctx)
+    // the tag goes through a reference object, NOT a string literal — the
+    // function is SQL-registered, so a tag containing quotes/backslashes
+    // must not be interpolated into generated Java source
+    val tagRef = ctx.addReferenceObj("warnTag", tag, "java.lang.String")
     val code = code"""
       ${c.code}
       if (!${c.isNull}) {
-        graft.functions.DiagLog.warnLargeBucket(${c.value}, ${threshold}L, "$tag");
+        graft.functions.DiagLog.warnLargeBucket(${c.value}, ${threshold}L, $tagRef);
       }
       ${v.code}"""
     ev.copy(code = code, isNull = v.isNull, value = v.value)

@@ -74,13 +74,20 @@ object Dedup {
   private[operators] def capBuckets(banded: DataFrame, keys: Seq[String],
                                     maxBucketSize: Int,
                                     warnTag: String = null,
-                                    warnOver: Int = 10000): DataFrame = {
+                                    warnOver: Int = 10000,
+                                    warnOn: String = "id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
     if (maxBucketSize <= 0) {
       if (warnTag == null || warnOver <= 0) return banded
+      // the diagnostic must ride a column the downstream join consumes
+      // (column pruning would drop a side-channel) — `warnOn` names it,
+      // loudly, instead of assuming every caller's frame has an "id"
+      require(banded.columns.contains(warnOn),
+        s"capBuckets(warnTag=$warnTag): warn column '$warnOn' not in " +
+          s"${banded.columns.mkString("[", ",", "]")}")
       return banded.withColumn("__bsz", count(lit(1)).over(w))
-        .withColumn("id", call_function("warn_large_bucket",
-          col("id"), col("__bsz"), lit(warnOver.toLong), lit(warnTag)))
+        .withColumn(warnOn, call_function("warn_large_bucket",
+          col(warnOn), col("__bsz"), lit(warnOver.toLong), lit(warnTag)))
         .drop("__bsz")
     }
     banded.withColumn("__bsz", count(lit(1)).over(w))

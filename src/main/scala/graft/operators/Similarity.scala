@@ -53,9 +53,11 @@ object Similarity {
                  vecCol: String = "embedding"): LshParams = {
     require(designCos > -1.0 && designCos < 1.0, s"designCos out of (-1,1): $designCos")
     require(recallTarget > 0.0 && recallTarget < 1.0, s"recallTarget out of (0,1)")
-    val rows = corpus.select(col(vecCol))
+    // null embeddings (failed-embed rows, routine at scale) are skipped by
+    // the operators' null-intolerant kernels — skip them in the sample too
+    val rows = corpus.select(col(vecCol)).where(col(vecCol).isNotNull)
       .orderBy(rand(20260817L)).limit(sampleSize).collect()
-    require(rows.nonEmpty, "suggestLsh: empty corpus")
+    require(rows.nonEmpty, "suggestLsh: empty corpus (no non-null embeddings)")
     val vecs = rows.map(r => r.getSeq[Float](0).toArray)
 
     def occupancy(p: Int): Double = {

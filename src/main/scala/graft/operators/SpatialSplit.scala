@@ -91,16 +91,15 @@ class SpatialSplit(
   def assignStats(stats: DataFrame): DataFrame = {
     val bucketed = bucketedStats(stats)
 
-    // The greedy fold is inherently sequential (reference topology), but it
-    // no longer collects or sorts the stats on the driver (round-4 held all
-    // (cell, n, bucket) rows in driver memory — multi-GB at planetary
-    // res-10): the seeded shuffle ORDER is computed and sorted by the
-    // cluster (identical modular arithmetic, so the q45 oracle replay is
-    // unchanged), and the driver streams it via toLocalIterator — transient
-    // driver state is O(one partition fetch). What remains driver-resident
-    // is exactly the (cell, split) assignment the broadcast join consumes
-    // afterwards, which must fit in memory under ANY topology that
-    // broadcasts it.
+    // The greedy fold is inherently sequential (reference topology). The
+    // round-5 change moves the SORT off the driver and streams rows in via
+    // toLocalIterator (identical modular shuffle key, so the q45 oracle
+    // replay is unchanged). Honest driver bound: the high-water mark is
+    // still O(cells) — the accumulated assignment tuples ARE the broadcast
+    // mapping, which must fit in driver memory under any topology that
+    // broadcasts it — but the round-4 shape held ~3 copies (collected
+    // rows + a sorted copy + the assignment map) and sorted on one driver
+    // core; now one copy accumulates and the cluster sorts.
     val ordered = bucketed
       .withColumn("__ord", ((col("cell") % P) * 48271L + seed) % P)
       .orderBy(col("__ord"), col("cell"))

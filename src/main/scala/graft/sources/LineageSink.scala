@@ -158,6 +158,10 @@ object LineageSink {
     * reaper's LOCAL clock against the store's mtime, so cross-node clock
     * skew eats into the margin — keep the horizon ≥ 4× the worst skew plus
     * the heartbeat period. */
+  /** One warning per FileSystem class per JVM when beats fail. */
+  private val heartbeatWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[graft] def startHeartbeat(fs: FileSystem, dir: String,
                              attempt: String, horizonMs: Long): Thread = {
     val period = math.max(1000L, horizonMs / 4)
@@ -165,8 +169,22 @@ object LineageSink {
       try {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(period)
+          // survive ANY per-beat failure, not just IOException: a store
+          // whose setTimes throws UnsupportedOperationException (common on
+          // object-store connectors) must not silently kill the beat —
+          // that would re-create exactly the silent liveness dependence
+          // this thread exists to remove
           try fs.setTimes(leasePath(dir, attempt), System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              if (heartbeatWarned.add(fs.getClass.getName))
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"lease heartbeat beat failed on ${fs.getClass.getName} " +
+                  s"(${e.getClass.getSimpleName}: ${e.getMessage}); if setTimes " +
+                  "is unsupported here, mtime-based liveness cannot be " +
+                  "refreshed — size graft.lineage.staleMs above the longest " +
+                  "commit instead")
+          }
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-heartbeat-$attempt")

@@ -19,7 +19,9 @@ class LineageLeaseSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("lease-hb").toString
     val f = fs(dir)
     val attempt = "job--hb-attempt"
-    val horizon = 3000L // heartbeat period floors at 1s — well inside
+    // 8 s horizon / 2 s beat: ~6 s of slack for this host's documented
+    // multi-second CPU-steal stalls (a 3 s horizon flaked on paper)
+    val horizon = 8000L
     LineageSink.acquireLease(f, dir, attempt)
     val hb = LineageSink.startHeartbeat(f, dir, attempt, horizon)
     try {

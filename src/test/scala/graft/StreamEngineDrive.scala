@@ -116,6 +116,10 @@ object StreamEngineDrive {
       new java.sql.Timestamp(flushTs + 600000L), 999998L))
     query.processAllAvailable()
     val drainedMs = (System.nanoTime() - t0) / 1000000
+    // the engine has drained — disarm the watchdog BEFORE comparison and
+    // teardown, so a slow stop() near the deadline can't be halt(3)-ed
+    // into a false "hang" verdict
+    watchdog.interrupt()
 
     val got = spark.table("sess_engine").as[SessionRow].collect()
       .filter(_.user_id != SentinelUser).toSet
@@ -148,6 +152,5 @@ object StreamEngineDrive {
       sys.exit(1)
     }
     spark.stop()
-    watchdog.interrupt()
   }
 }

@@ -16,23 +16,34 @@ import org.apache.spark.sql.functions._
 object DedupScaleDrive {
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
-  /** M distinct corpora: replica r translates letters by a rotation of r. */
+  /** M distinct corpora. M ≤ 16 keeps the round-3/4 caesar-translation
+    * form (numbers comparable across rounds); M > 16 prefixes every word
+    * with a per-replica tag instead — cross-replica shingle sets are then
+    * DISJOINT for any M (caesar rotations repeat at 26), while each word
+    * still maps 1:1 so the within-replica pair structure (and so the true
+    * answer per replica) is IDENTICAL to the caesar form. */
   def replicate(spark: SparkSession, dir: String, m: Int): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
     (0 until m).map { r =>
-      val rot = Alpha.drop(r % 26) + Alpha.take(r % 26)
+      val text =
+        if (m <= 16) {
+          val rot = Alpha.drop(r % 26) + Alpha.take(r % 26)
+          translate(lower(col("text")), Alpha, rot)
+        } else
+          regexp_replace(lower(col("text")), "(\\S+)", "g" + r + "q$1")
       docs.select(
         (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
-        translate(lower(col("text")), Alpha, rot).as("text"))
+        text.as("text"))
     }.reduce(_ unionAll _)
   }
 
   def main(args: Array[String]): Unit = {
     val m = if (args.length > 0) args(0).toInt else 4
-    // caesar rotations repeat past 26 and sign codewords past 16 — repeats
-    // would make the true answer quadratic and invalidate the probe
-    require(m >= 1 && m <= 16, s"M must be in [1, 16], got $m")
+    // above 64 the Walsh sign code (64 orthogonal patterns over the 64-dim
+    // embeddings) would repeat — repeats make the true answer quadratic
+    // and invalidate the probe
+    require(m >= 1 && m <= 64, s"M must be in [1, 64], got $m")
     val cpus = if (args.length > 1) args(1).toInt else 32
     val spark = GraftSession.local(cpus, "graft-dedup-scale")
     val dir = "/root/testdata/sf0.1"
@@ -60,18 +71,26 @@ object DedupScaleDrive {
         threshold = 0.9).count()
     }
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    // sign patterns from the extended-Hamming(8,4) code: any two replicas
-    // differ in ≥4 of every 8 dims → ≥half the dims flip relatively →
-    // cross-replica cosine ≤ 0, keeping the true answer linear in M
+    // M ≤ 16: the round-3/4 extended-Hamming(8,4) sign code (comparable
+    // numbers). M > 16: Walsh functions χ_r(i) = (−1)^popcount(r & i) over
+    // the 64-dim embeddings — any two distinct r, r' disagree on EXACTLY
+    // half the dims, so cross-replica cosine of near-identical vectors is
+    // ≈ 0 for every pair of the 64 patterns; the true answer stays linear.
     val code = Seq(0x00, 0x0F, 0x33, 0x3C, 0x55, 0x5A, 0x66, 0x69,
       0x96, 0x99, 0xA5, 0xAA, 0xC3, 0xCC, 0xF0, 0xFF)
     val vecs = (0 until m).map { r =>
-      val cw = code(r % 16)
-      emb.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(pmod(floor(lit(cw.toDouble) /
+      val flip: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+        if (m <= 16) {
+          val cw = code(r % 16)
+          (x, i) => when(pmod(floor(lit(cw.toDouble) /
             pow(lit(2.0), (i % 8).cast("double"))).cast("int"), lit(2)) === 1, -x)
-            .otherwise(x)).as("embedding"))
+            .otherwise(x)
+        } else
+          (x, i) => when(pmod(bit_count(lit(r.toLong)
+            .bitwiseAND(pmod(i.cast("long"), lit(64L)))), lit(2)) === 1, -x)
+            .otherwise(x)
+      emb.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+        transform(col("embedding"), flip).as("embedding"))
     }.reduce(_ unionAll _)
     run("cosine_neardup") {
       graft.operators.Similarity.cosineNearDupPairs(vecs, 0.95).count()

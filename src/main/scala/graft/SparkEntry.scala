@@ -305,6 +305,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // --- §2.8 streaming, ENGINE-EXECUTED: the event-time sessionizer run
+    // through the real micro-batch machinery (MemoryStream →
+    // flatMapGroupsWithState under EventTimeTimeout + a real state store →
+    // memory sink), the events replayed across 8 micro-batches with
+    // deterministic ±15-minute arrival disorder crossing batch boundaries.
+    // The driver's batch SQL oracle (the q09 session rule, session_start
+    // carried as epoch ms — the state math is ms-resolution) certifies that
+    // the STREAMING answer converges to the batch answer: the last §2.8 row
+    // that previously had only function-level evidence. ---
+    "q60_sessionize_stream" -> ((s, dir) =>
+      graft.streaming.Streams
+        .replayEventTimeSessions(prep(s), t(s, dir, "events"))
+        .orderBy("user_id", "session_seq")),
+
     // --- image pipeline (graft payload): synth → decode/hash → tile ---
     "q10_image_tile_counts" -> ((s, dir) => {
       val k = graft.sources.Images.key(col("image_id"))
@@ -454,6 +468,31 @@ object SparkEntry {
       // legitimately miss one), so they are certified by the exact q20
       // brute-force oracle and the TextSimilaritySpec recall tests instead.
       Similarity.lshTopK(aug, queries, 10, planes = 16, tables = 4)
+        .where(col("neighbor_id") === col("query_id") + 100000L)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id")
+    }),
+
+    // q21 with the round-5 AUTO-TUNED parameters: Similarity.suggestLsh
+    // samples signature-bucket occupancy to size the hyperplane count and
+    // solves the LSH recall model at designCos for the table count; the
+    // chosen (planes, tables) feed lshTopK unchanged. Same planted-twin
+    // structural contract as q21 — identical directions collide in EVERY
+    // hyperplane table, for ANY parameter choice — so the oracle is
+    // parameter-independent and certifies the auto path end-to-end (the
+    // QUALITY of the choice on clustered vs uniform corpora is
+    // spec-asserted in SimilarityAutoSpec).
+    "q61_ann_lsh_auto" -> ((s, dir) => {
+      val emb = t(prep(s), dir, "embeddings")
+      val aug = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(emb.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      val queries = emb.where(col("vec_id") % 5 === 0 && col("vec_id") < 100)
+      val params = Similarity.suggestLsh(emb, designCos = 0.97)
+      Similarity.lshTopK(aug, queries, 10,
+          planes = params.planes, tables = params.tables)
         .where(col("neighbor_id") === col("query_id") + 100000L)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
@@ -1351,6 +1390,27 @@ object SparkEntry {
         |  sha256(wkt_box) AS sha_box
         |FROM s ORDER BY id""".stripMargin,
 
+    // batch truth for the ENGINE-executed streaming sessionizer: the q09
+    // session rule with session_start as epoch ms (epoch_ms floors — same
+    // as Timestamp.getTime on the streaming side; within-ms ordering can't
+    // move a boundary because a 0-ms gap never exceeds the 30-min rule)
+    "q60_sessionize_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM e)
+        |SELECT user_id, session_seq, MIN(ts_ms) AS session_start_ms,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+
     "q50_s2_within_refine" ->
       """SELECT region_id
         |FROM read_parquet('/root/reference/tests/embedders/s2vec/test_files/wro_s2_14_regions.parquet')
@@ -1447,6 +1507,16 @@ object SparkEntry {
     // planted-twin recall certificate: the twin is the identical direction
     // scaled ×2, so its cosine is 1 by construction on both engines
     "q21_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |  q AS (SELECT vec_id AS query_id, v FROM e
+        |        WHERE vec_id % 5 = 0 AND vec_id < 100)
+        |SELECT query_id, query_id + 100000 AS neighbor_id,
+        |  round(list_cosine_similarity(list_transform(v, x -> x * 2), v), 6) AS cosine
+        |FROM q ORDER BY query_id""".stripMargin,
+
+    // same planted-twin truth as q21 — the structural guarantee holds for
+    // ANY (planes, tables), so the auto-tuned run must reproduce it exactly
+    "q61_ann_lsh_auto" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |  q AS (SELECT vec_id AS query_id, v FROM e
         |        WHERE vec_id % 5 = 0 AND vec_id < 100)

@@ -209,4 +209,74 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         sessionizeEventTimeFunc(gapMs))
   }
+
+  /** Distinguishes concurrent replays' memory-sink names (deterministic —
+    * no wall clock in query identity). */
+  private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Replay a BOUNDED events table through the REAL micro-batch engine:
+    * MemoryStream → [[sessionizeEventTime]] (flatMapGroupsWithState,
+    * EventTimeTimeout, real state store) → memory sink, fed in `batches`
+    * micro-batches under deterministic ±15-minute arrival disorder that
+    * crosses batch boundaries (the watermark delay, 2 h, admits all of it,
+    * so convergence — not luck — produces the batch answer). Returns the
+    * emitted sessions as a batch DataFrame `(user_id, session_seq,
+    * session_start_ms, n_events)` for the driver's q09-equivalent SQL
+    * oracle: this is the end-to-end ENGINE certificate for §2.8 streaming
+    * (the transition function alone is covered by StreamingEventTimeSpec).
+    *
+    * The event stream is collected to the driver by design: a MemoryStream
+    * replay is a test harness for engine semantics, not a production path —
+    * production streams arrive via readStream (see [[readEvents]]).
+    * Two far-future sentinel batches flush the tail: watermarks only
+    * advance with data, and EventTimeTimeout needs a following batch to
+    * fire in; the sentinel user is dropped from the result. */
+  def replayEventTimeSessions(spark: SparkSession, events: DataFrame,
+                              gapMs: Long = 1800000L,
+                              batches: Int = 8): DataFrame = {
+    import spark.implicits._
+    val evs: Array[SessEventTs] = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("event_id"))
+      .as[SessEventTs].collect()
+    require(evs.nonEmpty, "replayEventTimeSessions: no events")
+    // ±15-min jitter keyed off the event id (floorMod: the multiply may
+    // wrap negative); strictly inside the 2 h watermark delay, so no real
+    // event is ever dropped as late — proof: consecutive arrival batches
+    // overlap in true time by at most 2×15 min ≪ 2 h
+    val arrival = evs.sortBy { e =>
+      val jitter =
+        (java.lang.Math.floorMod(e.event_id * 2654435761L, 3L) - 1L) * 900000L
+      (e.ts.getTime + jitter, e.event_id)
+    }
+    val sentinelUser = evs.iterator.map(_.user_id).max + 1000000L
+    val flushTs = evs.iterator.map(_.ts.getTime).max + gapMs + 10800000L
+    val name = s"graft_sess_replay_${replaySeq.incrementAndGet()}"
+    val checkpoint = java.nio.file.Files.createTempDirectory(name).toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEventTs]
+    val query = sessionizeEventTime(source.toDS(), gapMs)
+      .writeStream.queryName(name).outputMode("append")
+      .format("memory").option("checkpointLocation", checkpoint).start()
+    val rows = try {
+      val per = math.max(1, math.ceil(arrival.length.toDouble / batches).toInt)
+      arrival.grouped(per).foreach { b =>
+        source.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+      source.addData(SessEventTs(sentinelUser,
+        new java.sql.Timestamp(flushTs), Long.MaxValue - 1))
+      query.processAllAvailable()
+      source.addData(SessEventTs(sentinelUser,
+        new java.sql.Timestamp(flushTs + 600000L), Long.MaxValue))
+      query.processAllAvailable()
+      spark.table(name).as[SessionRow].collect()
+        .filter(_.user_id != sentinelUser)
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView(name)
+    }
+    spark.createDataset(rows.toIndexedSeq).toDF()
+  }
 }

@@ -499,6 +499,29 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // IVF (inverted-file) ANN — the round-5 second scale path next to LSH:
+    // a sample-trained spherical k-means quantizer, one codegen cell per
+    // corpus row, queries probe their nprobe nearest cells. Planted-twin
+    // structural contract at nprobe = 1: cell assignment is SCALE-INVARIANT
+    // (argmax dot over unit centroids), so the ×2 twin lands in exactly its
+    // query's top-1 cell for ANY trained quantizer — the oracle is
+    // training-independent. Exactness of the full path (nprobe = nlist ≡
+    // brute force, hash-equal) and the recall@nprobe curve are
+    // spec-asserted in IvfSpec.
+    "q62_ann_ivf" -> ((s, dir) => {
+      val emb = t(prep(s), dir, "embeddings")
+      val aug = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(emb.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      val queries = emb.where(col("vec_id") % 5 === 0 && col("vec_id") < 100)
+      Similarity.ivfTopK(aug, queries, 10, nlist = 32, nprobe = 1)
+        .where(col("neighbor_id") === col("query_id") + 100000L)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id")
+    }),
+
     // SimHash blocking with exact-Jaccard verification. STRUCTURAL recall
     // contract: gate only the planted exact copies (identical text →
     // identical simhash → guaranteed block, jaccard exactly 1.0). Organic
@@ -1517,6 +1540,18 @@ object SparkEntry {
     // same planted-twin truth as q21 — the structural guarantee holds for
     // ANY (planes, tables), so the auto-tuned run must reproduce it exactly
     "q61_ann_lsh_auto" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |  q AS (SELECT vec_id AS query_id, v FROM e
+        |        WHERE vec_id % 5 = 0 AND vec_id < 100)
+        |SELECT query_id, query_id + 100000 AS neighbor_id,
+        |  round(list_cosine_similarity(list_transform(v, x -> x * 2), v), 6) AS cosine
+        |FROM q ORDER BY query_id""".stripMargin,
+
+    // same planted-twin truth again — IVF cell assignment is
+    // scale-invariant, so the twin is guaranteed at nprobe = 1 for ANY
+    // trained quantizer (IvfSpec proves the structural property and the
+    // nprobe = nlist ≡ brute-force exactness)
+    "q62_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |  q AS (SELECT vec_id AS query_id, v FROM e
         |        WHERE vec_id % 5 = 0 AND vec_id < 100)

@@ -108,6 +108,18 @@ object Gf {
         "warn_large_bucket: threshold and tag must be non-null")
       WarnLargeBucket(e(0), e(1), thr.asInstanceOf[Number].longValue(), tag.toString)
     }),
+    "ivf_cells" -> (e => {
+      // centroids/nprobe must be non-null literals: the matrix is a
+      // plan-time constant (trained on a sample) baked into the kernel
+      require(e.length == 3 && e(1).foldable && e(2).foldable,
+        "ivf_cells(vec, centroids, nprobe): centroids and nprobe must be literals")
+      val cents = e(1).eval(); val np = e(2).eval()
+      require(cents != null && np != null,
+        "ivf_cells: centroids and nprobe must be non-null")
+      IvfCells(e(0),
+        cents.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+        np.asInstanceOf[Number].intValue())
+    }),
     "topk_agg" -> (e => TopKAgg(e(0), e(1), e(2))),
     "st_union_agg" -> (e => StUnionAgg(e(0))))
 
@@ -204,6 +216,8 @@ object Gf {
     call_function("minhash_sig", shingles, lit(numHashes))
   def hyperplaneSig(v: Column, planes: Int, seed: Long): Column =
     call_function("hyperplane_sig", v, lit(planes), lit(seed))
+  def ivfCells(v: Column, centroids: Array[Double], nprobe: Int): Column =
+    call_function("ivf_cells", v, lit(centroids), lit(nprobe))
   def h3LatLng(id: Column): Column = call_function("h3_latlng", id)
   def dtwLatLng(a: Column, b: Column): Column = call_function("dtw_latlng", a, b)
   def fastDtwLatLng(a: Column, b: Column, radius: Int = 1): Column =

@@ -172,6 +172,44 @@ object VecTextOps {
     })
   }
 
+  /** Top-`nprobe` IVF centroid indices for `v` by dot product against a
+    * flat row-major `centroids` matrix (unit rows — argmax dot == argmax
+    * cosine, and the query vector itself needs NO normalization: a positive
+    * scale multiplies every dot by the same exact power-of-two-safe factor,
+    * so the ranking is scale-invariant). Ties keep the LOWER index
+    * (deterministic). Loud error on a dimension mismatch — a silently
+    * truncated dot would mis-assign every row of a ragged corpus. */
+  def ivfCells(v: ArrayData, centroids: Array[Double], nprobe: Int): ArrayData = {
+    val n = v.numElements()
+    require(n > 0 && centroids.length % n == 0,
+      s"ivf_cells: vector dim $n does not divide centroid matrix of ${centroids.length}")
+    val nlist = centroids.length / n
+    val np = math.min(nprobe, nlist)
+    require(np >= 1, s"ivf_cells: nprobe must be >= 1, got $nprobe")
+    val bestIdx = new Array[Int](np)
+    val bestDot = new Array[Double](np)
+    var filled = 0
+    var j = 0
+    while (j < nlist) {
+      var dot = 0.0
+      var i = 0
+      val base = j * n
+      while (i < n) { dot += centroids(base + i) * v.getFloat(i); i += 1 }
+      // descending insertion; strict < keeps equal-dot earlier indices first
+      var pos = filled
+      while (pos > 0 && bestDot(pos - 1) < dot) pos -= 1
+      if (pos < np) {
+        var m = math.min(filled, np - 1)
+        while (m > pos) { bestDot(m) = bestDot(m - 1); bestIdx(m) = bestIdx(m - 1); m -= 1 }
+        bestDot(pos) = dot; bestIdx(pos) = j
+        if (filled < np) filled += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bestIdx, filled))
+  }
+
   def hyperplaneSig(v: ArrayData, planes: Int, seed: Long): Long = {
     val n = v.numElements()
     val m = planeMatrix(seed, planes, n)

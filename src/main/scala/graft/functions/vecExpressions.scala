@@ -20,6 +20,26 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** ivf_cells(array<float>) → array<int>: the `nprobe` nearest IVF centroid
+  * indices by dot product. The centroid matrix is a plan-time constant
+  * (trained driver-side on a bounded sample — [[graft.operators.Similarity.trainIvf]])
+  * carried as a constructor field and shipped to codegen as a reference
+  * object, so the kernel reads a raw double[] — no per-row ArrayData
+  * re-extraction of a 4096-element literal. */
+case class IvfCells(child: Expression, centroids: Array[Double], nprobe: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "ivf_cells"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecTextOps.ivfCells(v.asInstanceOf[ArrayData], centroids, nprobe)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[]")
+    defineCodeGen(ctx, ev, v => s"$V.ivfCells($v, $cRef, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** simhash64(array<string>) → long. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"

@@ -96,6 +96,175 @@ object Similarity {
     LshParams(planes, tables, occ)
   }
 
+  /** IVF coarse quantizer: `centroids` is flat row-major, rows unit-norm.
+    * Train with [[trainIvf]]; assign/search with [[ivfTopKWith]]. */
+  final case class IvfModel(nlist: Int, dim: Int, centroids: Array[Double])
+
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Train a spherical k-means coarse quantizer on a bounded SEEDED sample
+    * of the corpus — the FAISS IVF recipe, and the only shape that holds at
+    * 100 TB: training cost is O(sampleSize · nlist · dim · iters) on the
+    * driver (≈ a second at the defaults), independent of corpus size;
+    * the full corpus is only ever touched by the one-pass cell ASSIGNMENT
+    * kernel. Deterministic end to end: seeded sample (plans as a
+    * per-partition top-K, no global sort), farthest-point init, tie-stable
+    * Lloyd iterations with empty-cluster reseeding to the current worst-fit
+    * point. Zero vectors and null embeddings are excluded from training
+    * (they carry no direction); at assignment time they land in a cell
+    * deterministically like any other row. */
+  def trainIvf(corpus: DataFrame, nlist: Int = 64, iters: Int = 10,
+               sampleSize: Int = 8192,
+               vecCol: String = "embedding"): IvfModel = {
+    require(nlist >= 1, s"trainIvf: nlist must be >= 1, got $nlist")
+    require(iters >= 1 && sampleSize >= 1, "trainIvf: iters/sampleSize must be >= 1")
+    val rows = corpus.select(col(vecCol)).where(col(vecCol).isNotNull)
+      .orderBy(rand(20260905L)).limit(sampleSize).collect()
+    val sample: Array[Array[Double]] = rows.iterator
+      .map(_.getSeq[Float](0))
+      .flatMap { s =>
+        val a = new Array[Double](s.length)
+        var i = 0; var n2 = 0.0
+        while (i < a.length) { a(i) = s(i); n2 += a(i) * a(i); i += 1 }
+        if (n2 == 0.0 || a.length == 0) None
+        else {
+          val inv = 1.0 / math.sqrt(n2)
+          i = 0; while (i < a.length) { a(i) *= inv; i += 1 }
+          Some(a)
+        }
+      }.toArray
+    require(sample.nonEmpty,
+      "trainIvf: empty corpus (no non-null, non-zero embeddings)")
+    val dim = sample(0).length
+    require(sample.forall(_.length == dim),
+      s"trainIvf: ragged embedding dimensions (expected $dim)")
+    val k = math.min(nlist, sample.length)
+
+    // farthest-point init: spreads centroids across the sample's directions
+    val cents = new Array[Array[Double]](k)
+    cents(0) = sample(0).clone()
+    val bestDot = sample.map(s => dotD(s, cents(0)))
+    var c = 1
+    while (c < k) {
+      var arg = 0; var m = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        if (bestDot(i) < m) { m = bestDot(i); arg = i }
+        i += 1
+      }
+      cents(c) = sample(arg).clone()
+      i = 0
+      while (i < sample.length) {
+        val d = dotD(sample(i), cents(c))
+        if (d > bestDot(i)) bestDot(i) = d
+        i += 1
+      }
+      c += 1
+    }
+
+    // Lloyd with spherical renormalization
+    val assign = new Array[Int](sample.length)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bd = dotD(sample(i), cents(0))
+        var j = 1
+        while (j < k) {
+          val d = dotD(sample(i), cents(j))
+          if (d > bd) { bd = d; best = j } // strict >: ties keep lower index
+          j += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < sample.length) {
+        val s = sums(assign(i)); val v = sample(i)
+        var d = 0
+        while (d < dim) { s(d) += v(d); d += 1 }
+        counts(assign(i)) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          val n2 = dotD(sums(j), sums(j))
+          if (n2 > 0) {
+            val inv = 1.0 / math.sqrt(n2)
+            var d = 0
+            while (d < dim) { cents(j)(d) = sums(j)(d) * inv; d += 1 }
+          }
+          // a perfectly cancelling cluster mean keeps its old centroid
+        } else {
+          // empty cluster: reseed to the current worst-fit sample point
+          var arg = 0; var m = Double.MaxValue
+          var i2 = 0
+          while (i2 < sample.length) {
+            val d = dotD(sample(i2), cents(assign(i2)))
+            if (d < m) { m = d; arg = i2 }
+            i2 += 1
+          }
+          cents(j) = sample(arg).clone()
+        }
+        j += 1
+      }
+      it += 1
+    }
+
+    val flat = new Array[Double](k * dim)
+    var j = 0
+    while (j < k) { System.arraycopy(cents(j), 0, flat, j * dim, dim); j += 1 }
+    IvfModel(k, dim, flat)
+  }
+
+  /** IVF (inverted-file) approximate top-k — the OTHER 100-TB ANN shape,
+    * complementary to [[lshTopK]]: where LSH explodes the corpus ×tables
+    * into signature buckets, IVF assigns each corpus row to exactly ONE
+    * cell (a per-row codegen kernel against the sample-trained quantizer —
+    * [[trainIvf]]) and each query probes its `nprobe` nearest cells. The
+    * query side is broadcast, so the corpus is scanned once and NEVER
+    * shuffled; the finisher is the same bounded top-k aggregate. Probing
+    * all cells (`nprobe = nlist`) degenerates to exact brute force —
+    * the recall dial is a strict superset walk toward exhaustive.
+    * Same output shape as [[bruteForceTopK]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 64, nprobe: Int = 8, iters: Int = 10,
+              sampleSize: Int = 8192,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(trainIvf(corpus, nlist, iters, sampleSize, vecCol),
+      corpus, queries, k, nprobe, idCol, vecCol)
+
+  /** [[ivfTopK]] with a pre-trained quantizer (reuse one model across many
+    * query batches — the production pattern). */
+  def ivfTopKWith(model: IvfModel, corpus: DataFrame, queries: DataFrame,
+                  k: Int, nprobe: Int = 8,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, s"ivfTopKWith: nprobe must be >= 1, got $nprobe")
+    val cand = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .withColumn("cell",
+        element_at(Gf.ivfCells(col("v"), model.centroids, 1), 1))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell",
+        explode(Gf.ivfCells(col("qv"), model.centroids, nprobe))))
+    // one broadcast hash join on the cell id: a corpus row meets a query at
+    // most once (a query's probed cells are distinct), so no pair dedup
+    val grouped = cand.join(q, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Gf.vecCosine(col("v"), col("qv")))
+      .groupBy("query_id")
+      .agg(Gf.topKAgg(col("cosine"), col("neighbor_id"), k).as("top"))
+    explodeTopK(grouped)
+  }
+
   /** Rank rows of a bounded `topk_agg` result array: (query_id, neighbor_id,
     * cosine, rank) with rank 1..k by (cosine desc, neighbor_id asc). */
   private def explodeTopK(grouped: DataFrame): DataFrame =

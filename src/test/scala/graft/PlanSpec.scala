@@ -159,6 +159,8 @@ class PlanSpec extends AnyFunSuite {
       "cosineNearDupPairs" -> Similarity.cosineNearDupPairs(vecs, 0.9),
       "lshTopK" -> Similarity.lshTopK(vecs, vecs.limit(1), 5),
       "bruteForceTopK" -> Similarity.bruteForceTopK(vecs, vecs.limit(1), 5),
+      "ivfTopKWith" -> Similarity.ivfTopKWith(
+        Similarity.IvfModel(1, 2, Array(0.6, 0.8)), vecs, vecs.limit(1), 5, 1),
       "patchGrid" -> graft.operators.Tiling.patchGrid(geo, 8, 10),
       "hexTensor" -> graft.operators.Tiling.hexTensor(
         Seq("861f0d487ffffff").toDF(graft.operators.Tables.RegionsIndex),

@@ -522,6 +522,26 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // PERSISTED IVF index, certified EXACT: the corpus is written through
+    // the lineage sink bucketed by quantizer cell (the layout IS the
+    // index), then searched with nprobe = nlist — which reads every bucket
+    // and must equal true brute-force top-k. The oracle is the same
+    // DuckDB exhaustive scan as q20, so the whole persisted path
+    // (assign → grouped commit → manifest prune → probe join → bounded
+    // top-k) is hash-exact against an independent engine. The PRUNING
+    // (nprobe < nlist reads only probed buckets' files) is spec-asserted
+    // in IvfIndexSpec via inputFiles.
+    "q63_ann_ivf_index" -> ((s, dir) => {
+      val emb = t(prep(s), dir, "embeddings")
+      val queries = emb.where(col("vec_id").isin(1L, 2L, 3L))
+      val tmp = java.nio.file.Files.createTempDirectory("q63_ivf_index").toString
+      val model = Similarity.trainIvf(emb, nlist = 8, iters = 5)
+      Similarity.writeIvfIndex(emb, tmp, model, groups = 2)
+      Similarity.searchIvfIndex(queries, tmp, 10, nprobe = 8)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // SimHash blocking with exact-Jaccard verification. STRUCTURAL recall
     // contract: gate only the planted exact copies (identical text →
     // identical simhash → guaranteed block, jaccard exactly 1.0). Organic
@@ -1558,6 +1578,21 @@ object SparkEntry {
         |SELECT query_id, query_id + 100000 AS neighbor_id,
         |  round(list_cosine_similarity(list_transform(v, x -> x * 2), v), 6) AS cosine
         |FROM q ORDER BY query_id""".stripMargin,
+
+    // exact truth for the persisted-index search at nprobe = nlist: the
+    // same exhaustive scan as q20 (the index path must lose NOTHING)
+    "q63_ann_ivf_index" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (1, 2, 3)),
+        |  c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |          list_cosine_similarity(e.v, q.qv) AS cos
+        |        FROM e, q WHERE e.vec_id <> q.query_id),
+        |  r AS (SELECT query_id, neighbor_id, cos,
+        |          ROW_NUMBER() OVER (PARTITION BY query_id
+        |            ORDER BY cos DESC, neighbor_id ASC) AS rn
+        |        FROM c)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // planted-copy recall certificate: identical text → jaccard exactly 1
     "q22_simhash_neardup" ->

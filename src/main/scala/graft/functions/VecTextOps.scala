@@ -163,7 +163,25 @@ object VecTextOps {
         val planeKey = s * 0x9E3779B97F4A7C15L + j
         var i = 0
         while (i < dim) {
-          m(j * dim + i) = fnv64(planeKey, i.toLong).toDouble / Long.MaxValue.toDouble
+          // Entry key = planeKey + i·C (C large odd) through a murmur3
+          // finalizer. The round-2..4 form fed (planeKey, i) through the
+          // byte-walking FNV, whose seed and a small i interact ONLY in the
+          // low byte — so fnv(S+j, i) == fnv(S+j', i ⊕ (j⊕j')) whenever
+          // j⊕j' < dim: every plane row was an exact PERMUTATION of every
+          // other (measured round 5: pairwise row cosines up to 0.82
+          // depending only on j⊕j'; one table of a 128k-row corpus fell to
+          // 6.6k distinct buckets, 148M candidate pairs vs 1.6M after this
+          // fix — a 92× candidate blowup that turned the cosine near-dup
+          // probe from minutes into hours). Post-mix finalizers cannot help
+          // when the pre-mix inputs collide; the additive full-width key
+          // makes (j, i) pairs collision-free for any dim < 2^32, and the
+          // finalizer then decorrelates entries. Structural guarantees
+          // (identical directions ⇒ identical signs) are plane-independent.
+          var x = planeKey + i.toLong * 0xC2B2AE3D27D4EB4FL
+          x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+          x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+          x ^= x >>> 33
+          m(j * dim + i) = x.toDouble / Long.MaxValue.toDouble
           i += 1
         }
         j += 1

@@ -157,6 +157,20 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
+  /** Volume-aware simhash chunk count: the FINEST chunking (most bands —
+    * strongest hamming sensitivity, since pigeonhole guarantees a shared
+    * chunk at hamming < bands) whose RANDOM collision load stays flat —
+    * expected random co-bucket partners per row, bands·n/2^(64/bands),
+    * within `budgetPerRow`. The walk-down mirrors [[graft.operators.Similarity.suggestLsh]]'s
+    * occupancy budget: 8-bit chunks only fit toy corpora (n ≤ 64),
+    * 16-bit up to ~33k rows, 32-bit to ~4×10⁹, and past that only exact
+    * simhash equality (bands = 1) blocks without a quadratic candidate
+    * stage. Identical-copy recall — the only recall this family promises —
+    * is width-independent: equal hashes share every chunk at every width. */
+  def suggestSimhashBands(n: Long, budgetPerRow: Double = 2.0): Int =
+    Seq(8, 4, 2, 1).find(b =>
+      n.toDouble * b / math.pow(2.0, 64.0 / b) <= budgetPerRow).getOrElse(1)
+
   /** Explode a 64-bit hash column into `bands` equal-width (band, chunk)
     * blocking rows, carrying every other column of `hashed` through.
     * Pigeonhole: any pair with hamming < bands shares a chunk. The ONE
@@ -220,13 +234,25 @@ object Dedup {
     * chunks (bands = 8 → 8-bit) push the pigeonhole guarantee to hamming
     * ≤ 7 but shrink the key space to 256 values, so bucket occupancy — and
     * with it candidate-pair count — grows QUADRATICALLY with corpus size
-    * (measured: 4× the corpus, ~5× the wall time, DedupScaleDrive round 3).
-    * Use minhashPairs when organic recall beyond hamming 3 matters at
-    * scale. */
+    * (measured: 4× the corpus, ~5× the wall time, DedupScaleDrive round 3;
+    * at 320k docs the 16-bit space saturates outright — 1,741 s at
+    * local[2] vs minhash's 118 s, round 5). The default is therefore
+    * VOLUME-AWARE ([[suggestSimhashBands]], bands = 0): it widens chunks
+    * as the corpus grows so the RANDOM collision mass stays linear, at the
+    * price of a weaker hamming sensitivity — which this variant never
+    * promised: its recall contract is identical-copy pairs (identical
+    * text → identical simhash → same chunk at EVERY width) plus whatever
+    * the exact-Jaccard verify confirms among candidates. Pass an explicit
+    * `bands` to pin the round-3/4 behavior. Use minhashPairs when organic
+    * Jaccard recall matters at scale — its banding bounds the miss
+    * probability analytically; chunk blocking never did. */
   def simhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 3, threshold: Double = 0.9,
-                          bands: Int = 4,
+                          bands: Int = 0,
                           maxBucketSize: Int = 10000): DataFrame = {
+    val chosenBands =
+      if (bands > 0) bands
+      else suggestSimhashBands(df.count())
     // one projection computes the simhash AND the shingle count, so the
     // lossless size prefilter can ride the band shuffle (one int per row)
     val proj = spread(df).select(col(idCol).as("id"),
@@ -234,7 +260,7 @@ object Dedup {
       TextOps.shingles(col(textCol), shingleK).as("sh"))
     val banded = capBuckets(
       bandChunks(proj.select(col("id"), col("hash"), size(col("sh")).as("n")),
-        "hash", bands).drop("hash"),
+        "hash", chosenBands).drop("hash"),
       Seq("band", "chunk"), maxBucketSize)
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"),
       col("n").as("n_a"))

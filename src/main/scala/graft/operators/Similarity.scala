@@ -265,6 +265,137 @@ object Similarity {
     explodeTopK(grouped)
   }
 
+  // ---------------- persisted IVF index (LineageSink-bucketed layout) ----
+
+  /** Partition column of a persisted IVF index: the row's top-1 quantizer
+    * cell. The LAYOUT is the index — searching `nprobe` cells prunes the
+    * scan to those buckets' files via the sink manifest, never listing or
+    * reading the rest of the corpus. */
+  val IvfCellCol = "ivf_cell"
+  private val IvfModelFile = "ivf_model.txt"
+
+  /** Persist `model` under the index dir (atomic create-then-rename; a
+    * resume that passes the SAME model is a no-op, a DIFFERENT model is a
+    * loud error — silently mixing quantizers would split twins across
+    * cells and quietly zero recall). */
+  private def saveIvfModel(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, model: IvfModel): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$IvfModelFile")
+    if (fs.exists(p)) {
+      val existing = readIvfModel(spark, dir)
+      require(existing.nlist == model.nlist && existing.dim == model.dim &&
+        java.util.Arrays.equals(existing.centroids, model.centroids),
+        s"writeIvfIndex: $dir already holds a DIFFERENT quantizer " +
+          s"(${existing.nlist}x${existing.dim}); refusing to mix models in one index")
+      return
+    }
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/.${IvfModelFile}.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try {
+      val sb = new StringBuilder
+      sb.append(model.nlist).append(' ').append(model.dim).append('\n')
+      var i = 0
+      while (i < model.centroids.length) {
+        // java Double toString round-trips exactly
+        sb.append(java.lang.Double.toString(model.centroids(i))).append('\n')
+        i += 1
+      }
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    // lost rename race against a concurrent builder: verify equality instead
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      val existing = readIvfModel(spark, dir)
+      require(java.util.Arrays.equals(existing.centroids, model.centroids),
+        s"writeIvfIndex: concurrent builder wrote a different quantizer to $dir")
+    }
+  }
+
+  /** Read the quantizer persisted by [[writeIvfIndex]]. */
+  def readIvfModel(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): IvfModel = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$IvfModelFile")
+    require(fs.exists(p), s"readIvfModel: no $IvfModelFile under $dir — not an IVF index")
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+      finally in.close()
+    val Array(nlist, dim) = lines(0).split(' ').map(_.toInt)
+    val cents = lines.iterator.drop(1).filter(_.nonEmpty)
+      .map(java.lang.Double.parseDouble).toArray
+    require(cents.length == nlist * dim,
+      s"readIvfModel: corrupt model file (${cents.length} values for ${nlist}x$dim)")
+    IvfModel(nlist, dim, cents)
+  }
+
+  /** Build a PERSISTED IVF index: assign each corpus row its top-1 cell
+    * (one codegen kernel pass) and write through the lineage sink bucketed
+    * by cell — crash-resumable in `groups` slices ([[graft.sources.LineageSink.writeGrouped]]),
+    * exactly-once per bucket, quantizer persisted alongside. The 100-TB
+    * point of an IVF index is the LAYOUT: the corpus lands partitioned by
+    * cell once, and every later search reads only its probed cells' files
+    * off the manifest — no per-search scan of the full corpus, no
+    * re-assignment. Null embeddings land in the sink's null bucket (they
+    * can never be neighbours; searches never probe it).
+    *
+    * The pre-write `repartition` on the cell clusters each cell into one
+    * shuffle partition, so the layout lands as ~one file per cell per
+    * group instead of (tasks × cells) fragments — the manifest and every
+    * pruned search read stay bounded by `nlist`. `groups > 1` buys
+    * crash-resume granularity at the writeGrouped cost of one
+    * remainder-scan per group; pass `groups = 1` for a single-pass build. */
+  def writeIvfIndex(corpus: DataFrame, dir: String, model: IvfModel,
+                    vecCol: String = "embedding", groups: Int = 8): DataFrame = {
+    saveIvfModel(corpus.sparkSession, dir, model)
+    val assigned = corpus.withColumn(IvfCellCol,
+      element_at(Gf.ivfCells(col(vecCol), model.centroids, 1), 1))
+      .repartition(col(IvfCellCol))
+    graft.sources.LineageSink.writeGrouped(assigned, dir, IvfCellCol, groups)
+  }
+
+  /** Search a persisted IVF index: explode each query into its `nprobe`
+    * nearest cells, prune the sink manifest to the probed buckets (the
+    * probed-cell set is at most `nlist` small ints — a bounded driver
+    * collect), and run the broadcast probe join + bounded top-k over ONLY
+    * those buckets' files. Same output shape as [[bruteForceTopK]];
+    * `nprobe = nlist` reads the whole index and is exact. */
+  def searchIvfIndex(queries: DataFrame, dir: String, k: Int, nprobe: Int = 8,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    require(nprobe >= 1, s"searchIvfIndex: nprobe must be >= 1, got $nprobe")
+    val model = readIvfModel(spark, dir)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(Gf.ivfCells(col("qv"), model.centroids, nprobe)))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    val cand = graft.sources.LineageSink.snapshotWhere(spark, dir,
+      col("bucket").isin(probed.map(_.toString): _*))
+    if (cand.columns.isEmpty) {
+      // schema-faithful empty result: id columns keep the QUERY frame's id
+      // type (ids need not be longs), so callers can union/compare against
+      // a non-empty search without a cast
+      val idT = queries.schema(idCol).dataType
+      return queries.limit(0).select(
+        col(idCol).cast(idT).as("query_id"),
+        col(idCol).cast(idT).as("neighbor_id"),
+        lit(0.0).as("cosine"), lit(0).as("rank"))
+    }
+    val grouped = cand
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+        col(IvfCellCol).cast("int").as("cell"))
+      .join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Gf.vecCosine(col("v"), col("qv")))
+      .groupBy("query_id")
+      .agg(Gf.topKAgg(col("cosine"), col("neighbor_id"), k).as("top"))
+    explodeTopK(grouped)
+  }
+
   /** Rank rows of a bounded `topk_agg` result array: (query_id, neighbor_id,
     * cosine, rank) with rank 1..k by (cosine desc, neighbor_id asc). */
   private def explodeTopK(grouped: DataFrame): DataFrame =

@@ -679,17 +679,48 @@ object LineageSink {
     * concurrent readers never see a live job's half-moved files or a dead
     * job's not-yet-recovered leftovers (which a raw `dir/data` scan can,
     * for up to the stale horizon). The file list is driver-materialized —
-    * inherent to planning a file scan; at extreme file counts, filter the
-    * manifest by bucket first and read the pruned subset. */
-  def snapshot(spark: SparkSession, dir: String): DataFrame = {
+    * inherent to planning a file scan; at extreme file counts use
+    * [[snapshotWhere]], which prunes the manifest BEFORE the driver ever
+    * sees a file name. */
+  def snapshot(spark: SparkSession, dir: String): DataFrame =
+    snapshotWhere(spark, dir, lit(true))
+
+  /** [[snapshot]] restricted to manifest rows matching `predicate` (over
+    * the manifest columns — bucket/rows/files/job_id) — manifest-side
+    * pruning as a first-class API instead of a doc-comment escape hatch:
+    * the driver materializes only the MATCHING buckets' file lists and the
+    * scan plans only those files, so a search that needs `p` of `B`
+    * buckets costs O(p/B) of the full-snapshot listing and read. `basePath`
+    * re-derives the bucket partition column, so the returned frame is the
+    * committed table INCLUDING its bucket key (partitionBy strips it from
+    * the data files). */
+  def snapshotWhere(spark: SparkSession, dir: String,
+                    predicate: org.apache.spark.sql.Column): DataFrame = {
     val m = manifest(spark, dir)
     if (m.columns.isEmpty || !m.columns.contains("files"))
       return spark.emptyDataFrame
-    val files = m.select(explode(col("files"))).distinct()
+    val files = m.where(predicate).select(explode(col("files"))).distinct()
       .collect().map(_.getString(0))
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    else spark.read.option("basePath", dataDir(dir))
+      .parquet(files.toIndexedSeq: _*)
   }
+
+  /** Time-travel: the committed table AS OF `asOf` — exactly the rows whose
+    * commit landed (manifest `written_at`, stamped once per job at commit
+    * time) at or before that instant. Because appends are the only mutation
+    * and compaction carries manifest rows verbatim (job_id/bucket-deduped,
+    * never restamped), an as-of read is just [[snapshotWhere]] on the
+    * commit timestamp — same manifest-side pruning, no snapshot log to
+    * walk. Two caveats inherent to the design: `written_at` is the
+    * COMMITTER's clock (skewed writers can interleave timestamps across
+    * jobs), and this sink is append-only with retirement limited to the
+    * manifest LOG (compaction) — data files are never expired, so as-of
+    * reads reach all the way back; a future Iceberg-style
+    * expire-with-retention would bound that, exactly as upstream. */
+  def snapshotAsOf(spark: SparkSession, dir: String,
+                   asOf: java.sql.Timestamp): DataFrame =
+    snapshotWhere(spark, dir, col("written_at") <= lit(asOf))
 
   /** Resume a partially-completed job: recover from any crashed attempt,
     * anti-join the manifest to drop rows of buckets already committed,

@@ -45,4 +45,27 @@ class DedupDiagSpec extends AnyFunSuite {
     assert(loud.exceptAll(capped).count() === 0)
     assert(capped.exceptAll(loud).count() === 0)
   }
+
+  test("suggestSimhashBands widens chunks as the corpus grows; identical-copy recall is width-independent") {
+    // the budget walk: finest chunking whose random collision load stays flat
+    assert(Dedup.suggestSimhashBands(50) === 8)
+    assert(Dedup.suggestSimhashBands(1000) === 4)
+    assert(Dedup.suggestSimhashBands(32768) === 4)
+    assert(Dedup.suggestSimhashBands(320000) === 2)
+    assert(Dedup.suggestSimhashBands(4L * 1000 * 1000 * 1000) === 2)
+    assert(Dedup.suggestSimhashBands(1L << 40) === 1)
+    // planted identical copies are found at EVERY width the auto mode can
+    // pick — equal hashes share every chunk — including bands = 1
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val aug = docs.unionAll(docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val planted = aug.where(col("doc_id") % 7 === 0 && col("doc_id") < 1000000L).count()
+    for (b <- Seq(1, 2, 4, 0)) {
+      val found = Dedup.simhashJaccardPairs(aug, "doc_id", "text",
+          threshold = 0.9, bands = b)
+        .where(col("id_b") === col("id_a") + 1000000L).count()
+      assert(found === planted, s"bands=$b missed planted copies: $found/$planted")
+    }
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.LineageSink
+
+/** Round-5 persisted IVF index: the corpus written through the lineage sink
+  * BUCKETED BY quantizer cell, so the partition layout IS the index — a
+  * search probes `nprobe` cells and the manifest prunes the scan to those
+  * buckets' files. This is the piece that turns ivfTopK from "assign every
+  * search" into "assign once, prune forever": at 100 TB a search reads
+  * nprobe/nlist of the corpus and never lists the rest. */
+class IvfIndexSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val Dim = 16
+
+  private def vec(id: Long, salt: Long): Array[Float] =
+    Array.tabulate(Dim) { i =>
+      var x = id * 0x9E3779B97F4A7C15L + salt * 0xC2B2AE3D27D4EB4FL +
+        i.toLong * 0x165667B19E3779F9L
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+      x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+      x ^= x >>> 33
+      (x.toDouble / Long.MaxValue.toDouble).toFloat
+    }
+
+  private def clusterVec(id: Long): Array[Float] = {
+    val base = vec(id % 8, 99L)
+    val jit = vec(id, 3L)
+    Array.tabulate(Dim)(i => base(i) + 0.05f * jit(i))
+  }
+
+  lazy val corpus = (0L until 600L).map(i => (i, clusterVec(i)))
+    .toDF("vec_id", "embedding").cache()
+  lazy val queries = (0L until 16L).map(i => (1000L + i, clusterVec(i)))
+    .toDF("vec_id", "embedding").cache()
+  lazy val model = Similarity.trainIvf(corpus, nlist = 8, iters = 5)
+
+  private def freshDir(): String =
+    Files.createTempDirectory("ivf_index").toString
+
+  private def key(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("query_id"), col("neighbor_id"),
+      round(col("cosine"), 9).as("c"), col("rank"))
+    .collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+  test("search over the persisted index equals ivfTopKWith on the raw corpus") {
+    val dir = freshDir()
+    Similarity.writeIvfIndex(corpus, dir, model, groups = 2)
+    for (np <- Seq(1, 2, 8)) {
+      val fromIndex = key(Similarity.searchIvfIndex(queries, dir, 5, nprobe = np))
+      val direct = key(Similarity.ivfTopKWith(model, corpus, queries, 5, nprobe = np))
+      assert(fromIndex === direct, s"index search diverged at nprobe=$np")
+    }
+    // nprobe = nlist over the index is EXACT
+    assert(key(Similarity.searchIvfIndex(queries, dir, 5, nprobe = 8)) ===
+      key(Similarity.bruteForceTopK(corpus, queries, 5)))
+  }
+
+  test("manifest pruning: a search plans only the probed buckets' files") {
+    val dir = freshDir()
+    Similarity.writeIvfIndex(corpus, dir, model, groups = 1)
+    val allFiles = LineageSink.snapshot(spark, dir).inputFiles.toSet
+    val pruned = LineageSink.snapshotWhere(spark, dir,
+      col("bucket").isin("0", "1")).inputFiles.toSet
+    assert(pruned.subsetOf(allFiles) && pruned.nonEmpty)
+    assert(pruned.size < allFiles.size,
+      s"pruned read planned every file (${allFiles.size})")
+    // the recovered partition column matches the pruned buckets exactly
+    val cells = LineageSink.snapshotWhere(spark, dir,
+      col("bucket").isin("0", "1"))
+      .select(Similarity.IvfCellCol).distinct()
+      .collect().map(_.get(0).toString).toSet
+    assert(cells.subsetOf(Set("0", "1")))
+    // layout is clustered: at most one file per (cell, group)
+    val m = LineageSink.manifest(spark, dir)
+    val maxFiles = m.select(size(col("files")).as("n"))
+      .agg(max(col("n"))).collect()(0).getInt(0)
+    assert(maxFiles <= 1, s"a bucket committed $maxFiles files in one group")
+  }
+
+  test("resume: a second writeIvfIndex with the same model is exactly-once; a different model refuses") {
+    val dir = freshDir()
+    Similarity.writeIvfIndex(corpus, dir, model, groups = 2)
+    val n1 = LineageSink.snapshot(spark, dir).count()
+    Similarity.writeIvfIndex(corpus, dir, model, groups = 2) // resume no-op
+    assert(LineageSink.snapshot(spark, dir).count() === n1)
+    assert(n1 === 600L)
+    val other = Similarity.trainIvf(corpus, nlist = 4, iters = 3)
+    val e = intercept[IllegalArgumentException](
+      Similarity.writeIvfIndex(corpus, dir, other))
+    assert(e.getMessage.contains("DIFFERENT quantizer"))
+  }
+
+  test("model round-trips exactly through the persisted file") {
+    val dir = freshDir()
+    Similarity.writeIvfIndex(corpus.limit(50), dir, model, groups = 1)
+    val back = Similarity.readIvfModel(spark, dir)
+    assert(back.nlist === model.nlist && back.dim === model.dim)
+    assert(back.centroids.toSeq === model.centroids.toSeq)
+  }
+
+  test("null embeddings land in the null bucket and searches never probe it") {
+    val dir = freshDir()
+    val withNulls = corpus.unionAll(
+      Seq((9001L, null.asInstanceOf[Array[Float]]), (9002L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    Similarity.writeIvfIndex(withNulls, dir, model, groups = 1)
+    assert(LineageSink.snapshot(spark, dir).count() === 602L)
+    val res = Similarity.searchIvfIndex(queries, dir, 5, nprobe = 8)
+    assert(!res.select("neighbor_id").collect().exists(r => r.getLong(0) >= 9000L))
+    // exactness still holds with the null rows present
+    assert(key(res) === key(Similarity.bruteForceTopK(corpus, queries, 5)))
+  }
+}

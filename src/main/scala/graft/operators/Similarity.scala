@@ -348,15 +348,44 @@ object Similarity {
     * group instead of (tasks × cells) fragments — the manifest and every
     * pruned search read stay bounded by `nlist`. `groups > 1` buys
     * crash-resume granularity at the writeGrouped cost of one
-    * remainder-scan per group; pass `groups = 1` for a single-pass build. */
+    * remainder-scan per group; pass `groups = 1` for a single-pass build.
+    *
+    * BUILD-ONCE + crash-RESUME semantics ONLY: the grouped write's resume
+    * unit is the CELL, so re-invoking with the same corpus after a crash is
+    * exactly-once — but re-invoking with NEW data would silently drop every
+    * row landing in an already-committed cell. Growing an existing index is
+    * [[appendIvfIndex]]'s job. */
   def writeIvfIndex(corpus: DataFrame, dir: String, model: IvfModel,
                     vecCol: String = "embedding", groups: Int = 8): DataFrame = {
     saveIvfModel(corpus.sparkSession, dir, model)
-    val assigned = corpus.withColumn(IvfCellCol,
+    graft.sources.LineageSink.writeGrouped(
+      assignCells(corpus, model, vecCol), dir, IvfCellCol, groups)
+  }
+
+  /** Append NEW rows to an index built by [[writeIvfIndex]]: assignment
+    * under the SAME persisted quantizer (read back and therefore
+    * equality-guarded by construction), landed as a plain composing append
+    * commit — manifest rows union, so cells accumulate one file per append
+    * batch and searches keep pruning by cell exactly as before. This is
+    * deliberately NOT the grouped resume write: that path's per-cell
+    * skip-if-committed semantics would silently drop appended rows (every
+    * cell is committed after the initial build). Re-training is the one
+    * thing an append can never do — if the data distribution drifts far
+    * from the frozen centroids, cells skew and recall decays; rebuild with
+    * a fresh model instead (the model-equality guard makes accidental
+    * mixing impossible). */
+  def appendIvfIndex(newRows: DataFrame, dir: String,
+                     vecCol: String = "embedding"): DataFrame = {
+    val model = readIvfModel(newRows.sparkSession, dir)
+    graft.sources.LineageSink.write(
+      assignCells(newRows, model, vecCol), dir, IvfCellCol)
+  }
+
+  private def assignCells(df: DataFrame, model: IvfModel,
+                          vecCol: String): DataFrame =
+    df.withColumn(IvfCellCol,
       element_at(Gf.ivfCells(col(vecCol), model.centroids, 1), 1))
       .repartition(col(IvfCellCol))
-    graft.sources.LineageSink.writeGrouped(assigned, dir, IvfCellCol, groups)
-  }
 
   /** Search a persisted IVF index: explode each query into its `nprobe`
     * nearest cells, prune the sink manifest to the probed buckets (the

@@ -98,6 +98,32 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DIFFERENT quantizer"))
   }
 
+  test("appendIvfIndex grows the index; search stays exact over the union") {
+    val dir = freshDir()
+    val first = corpus.where(col("vec_id") < 400L)
+    val second = corpus.where(col("vec_id") >= 400L)
+    Similarity.writeIvfIndex(first, dir, model, groups = 2)
+    Similarity.appendIvfIndex(second, dir)
+    assert(LineageSink.snapshot(spark, dir).count() === 600L)
+    // exact over the UNION at nprobe = nlist — nothing appended was lost
+    assert(key(Similarity.searchIvfIndex(queries, dir, 5, nprobe = 8)) ===
+      key(Similarity.bruteForceTopK(corpus, queries, 5)))
+    // appends compose: a second append batch lands too
+    Similarity.appendIvfIndex(
+      second.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")), dir)
+    assert(LineageSink.snapshot(spark, dir).count() === 800L)
+
+    // the trap appendIvfIndex exists to avoid, pinned as documented
+    // behavior: the grouped BUILD write's resume unit is the cell, so
+    // re-BUILDING over new data drops every row landing in an
+    // already-committed cell (here: all of them — build-once semantics)
+    val dir2 = freshDir()
+    Similarity.writeIvfIndex(first, dir2, model, groups = 2)
+    Similarity.writeIvfIndex(second, dir2, model, groups = 2)
+    assert(LineageSink.snapshot(spark, dir2).count() === 400L,
+      "grouped build write must keep per-cell exactly-once (resume) semantics")
+  }
+
   test("model round-trips exactly through the persisted file") {
     val dir = freshDir()
     Similarity.writeIvfIndex(corpus.limit(50), dir, model, groups = 1)

@@ -542,6 +542,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Sink TIME-TRAVEL, certified end to end: the events table lands in a
+    // lineage sink in two commits split by a deterministic predicate, and
+    // snapshotAsOf at the first commit's written_at boundary must read back
+    // EXACTLY the first batch — the DuckDB oracle recomputes that batch's
+    // aggregate from the same predicate, so a boundary leak in either
+    // direction (batch-2 rows bleeding in, batch-1 buckets pruned out)
+    // breaks the hash. The 5 ms sleep keeps the two commits' millisecond
+    // clocks distinct.
+    "q64_sink_time_travel" -> ((s, dir) => {
+      val ev = t(prep(s), dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (col("user_id") % 8).cast("string").as("bucket"))
+      val tmp = java.nio.file.Files.createTempDirectory("q64_tt").toString
+      graft.sources.LineageSink.write(
+        ev.where(col("event_id") % 2 === 0), tmp, "bucket")
+      val boundary = graft.sources.LineageSink.manifest(s, tmp)
+        .agg(max(col("written_at"))).collect()(0).getTimestamp(0)
+      Thread.sleep(5)
+      graft.sources.LineageSink.write(
+        ev.where(col("event_id") % 2 =!= 0), tmp, "bucket")
+      graft.sources.LineageSink.snapshotAsOf(s, tmp, boundary)
+        // partition-type inference may surface the bucket dir value as an
+        // int; pin the grouping key type for the oracle compare
+        .groupBy(col("bucket").cast("string").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .orderBy("bucket")
+    }),
+
     // SimHash blocking with exact-Jaccard verification. STRUCTURAL recall
     // contract: gate only the planted exact copies (identical text →
     // identical simhash → guaranteed block, jaccard exactly 1.0). Organic
@@ -1593,6 +1621,15 @@ object SparkEntry {
         |        FROM c)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // truth for the as-of boundary read: the first commit's batch is the
+    // deterministic even-event_id slice, recomputed here from the raw table
+    "q64_sink_time_travel" ->
+      """SELECT CAST(user_id % 8 AS VARCHAR) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // planted-copy recall certificate: identical text → jaccard exactly 1
     "q22_simhash_neardup" ->

@@ -249,10 +249,15 @@ object Dedup {
   def simhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 3, threshold: Double = 0.9,
                           bands: Int = 0,
-                          maxBucketSize: Int = 10000): DataFrame = {
+                          maxBucketSize: Int = 10000,
+                          nHint: Long = 0L): DataFrame = {
+    // bands = 0 needs the corpus size; counting `df` materializes its
+    // upstream plan once more, so callers with an expensive derived input
+    // should pass `nHint` (any rough row count — the band walk only cares
+    // about order of magnitude) or an explicit `bands`
     val chosenBands =
       if (bands > 0) bands
-      else suggestSimhashBands(df.count())
+      else suggestSimhashBands(if (nHint > 0L) nHint else df.count())
     // one projection computes the simhash AND the shingle count, so the
     // lossless size prefilter can ride the band shuffle (one int per row)
     val proj = spread(df).select(col(idCol).as("id"),

@@ -203,7 +203,12 @@ object Similarity {
           }
           // a perfectly cancelling cluster mean keeps its old centroid
         } else {
-          // empty cluster: reseed to the current worst-fit sample point
+          // empty cluster: reseed to the current worst-fit sample point,
+          // then CLAIM that point in `assign` — several clusters emptying
+          // in one iteration must reseed to DISTINCT points, or they all
+          // copy the same vector and the duplicates become permanently
+          // dead cells (ties assign to the lower index), silently wasting
+          // nprobe slots at search time
           var arg = 0; var m = Double.MaxValue
           var i2 = 0
           while (i2 < sample.length) {
@@ -212,6 +217,7 @@ object Similarity {
             i2 += 1
           }
           cents(j) = sample(arg).clone()
+          assign(arg) = j
         }
         j += 1
       }
@@ -325,7 +331,14 @@ object Similarity {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
       finally in.close()
-    val Array(nlist, dim) = lines(0).split(' ').map(_.toInt)
+    // loud corrupt-model errors, never a MatchError: a torn header (crash
+    // between create and write on a fs where create is visible) must say so
+    val header = if (lines.isEmpty) Array.empty[String] else lines(0).split(' ')
+    require(header.length == 2 &&
+      header.forall(t => t.nonEmpty && t.forall(_.isDigit)),
+      s"readIvfModel: corrupt model header '${lines.headOption.getOrElse("")}' under $dir")
+    val nlist = header(0).toInt
+    val dim = header(1).toInt
     val cents = lines.iterator.drop(1).filter(_.nonEmpty)
       .map(java.lang.Double.parseDouble).toArray
     require(cents.length == nlist * dim,
@@ -399,9 +412,19 @@ object Similarity {
     val spark = queries.sparkSession
     require(nprobe >= 1, s"searchIvfIndex: nprobe must be >= 1, got $nprobe")
     val model = readIvfModel(spark, dir)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // materialize the (small, broadcast-bound) probe side ONCE: the
+    // probed-cell set and the join must share a single evaluation, or a
+    // nondeterministic query frame (sample, rand filter) could prune one
+    // cell set and then join rows assigned to another — silently losing
+    // neighbors. The collect is bounded by the same assumption that makes
+    // broadcast(q) correct below.
+    val qPlan = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(Gf.ivfCells(col("qv"), model.centroids, nprobe)))
-    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    val qRows = qPlan.collect()
+    val cellAt = qPlan.schema.fieldIndex("cell")
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qPlan.schema)
+    val probed = qRows.map(_.getInt(cellAt)).distinct
     val cand = graft.sources.LineageSink.snapshotWhere(spark, dir,
       col("bucket").isin(probed.map(_.toString): _*))
     if (cand.columns.isEmpty) {

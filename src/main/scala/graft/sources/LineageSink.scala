@@ -681,7 +681,13 @@ object LineageSink {
     * for up to the stale horizon). The file list is driver-materialized —
     * inherent to planning a file scan; at extreme file counts use
     * [[snapshotWhere]], which prunes the manifest BEFORE the driver ever
-    * sees a file name. */
+    * sees a file name.
+    *
+    * SCHEMA NOTE (round 5): the returned frame now INCLUDES the bucket
+    * partition column (recovered via `basePath`; `partitionBy` strips it
+    * from the data files). Pre-round-5 callers that pinned the old
+    * bucket-less schema (typed `.as[T]`, unions, fixed-schema writes)
+    * should `.drop` it explicitly. */
   def snapshot(spark: SparkSession, dir: String): DataFrame =
     snapshotWhere(spark, dir, lit(true))
 

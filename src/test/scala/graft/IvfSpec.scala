@@ -141,4 +141,21 @@ class IvfSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "corpus side shuffled through a sort-merge join")
     assert(!p.contains("Window"), "bounded top-k must not plan a window")
   }
+
+  test("reseeding keeps centroids distinct when clusters outnumber natural directions") {
+    // only TWO natural directions but nlist = 6: most clusters empty every
+    // Lloyd iteration, so the reseed path runs repeatedly — each empty
+    // cluster must claim a DISTINCT worst-fit point, or duplicates become
+    // permanently dead cells (ties assign to the lower index)
+    val twoDirs = toDf((0L until 80L).map { i =>
+      val base = vec(i % 2, 99L)
+      val jit = vec(i, 3L)
+      (i, Array.tabulate(Dim)(d => base(d) + 0.02f * jit(d)))
+    })
+    val m = Similarity.trainIvf(twoDirs, nlist = 6, iters = 6, sampleSize = 80)
+    val rows = (0 until m.nlist).map(j =>
+      m.centroids.slice(j * m.dim, (j + 1) * m.dim).toSeq)
+    assert(rows.distinct.size === m.nlist,
+      s"duplicate centroids after reseeding: ${rows.distinct.size}/${m.nlist}")
+  }
 }

@@ -20,6 +20,19 @@ object SparkEntry {
 
   private def prep(s: SparkSession): SparkSession = { Gf.register(s); s }
 
+  /** Scratch dir for the sink-exercising queries (q44/q63/q64), reaped on
+    * JVM exit: the query value is lazy (a DataFrame), so the dir must live
+    * until the driver materializes it — a shutdown hook is the earliest
+    * safe delete point (repeated Verify runs were accumulating orphan
+    * dirs under /tmp, ADVICE round 5). */
+  private def tmpDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      catch { case _: java.io.IOException => () }))
+    p.toString
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -369,6 +382,32 @@ object SparkEntry {
         .orderBy("group_size")
     }),
 
+    // Image NEAR-dup via phash hamming banding (round-6 — the one
+    // LLM-pipeline gap round 5 left): every 5th image gets a planted
+    // JPEG-RE-ENCODED copy — different bytes (md5/q13 cannot see it), same
+    // perceptual content. STRUCTURAL recall contract: the synthetic corpus
+    // has 512 deterministic patterns and re-encode moves the 64-bit phash
+    // by AT MOST 1 bit on every one of them (PhashProbe: 493 at d=0, 19 at
+    // d=1), so at maxHamming=3 with 4×16-bit pigeonhole chunks every
+    // planted pair is a guaranteed candidate AND passes verification — the
+    // oracle (planted key enumeration) is exact for any corpus built from
+    // these patterns, at every SF. Organic cross-pattern near-dups (some
+    // patterns share a phash) are real near-dups but data-dependent, so the
+    // certified slice filters to the planted pairs — rejection of far pairs
+    // and the hamming histogram are spec-asserted (ImagePhashSpec).
+    "q65_image_phash_neardup" -> ((s, dir) => {
+      val images = graft.sources.Images.forTestdata(prep(s), dir).toDF
+      val aug = images.select(col("image_id"), col("bytes"))
+        .unionAll(images
+          .where(graft.sources.Images.key(col("image_id")) % 5 === 0)
+          .select(concat(lit("re_"), col("image_id")).as("image_id"),
+            Gf.imgReencode(col("bytes"), lit("jpeg")).as("bytes")))
+      Dedup.phashPairsFromBytes(aug, "image_id", "bytes", maxHamming = 3)
+        .where(col("id_b") === concat(lit("re_"), col("id_a")))
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    }),
+
     // --- event-stream batch analytics ---
     "q08_events_hourly" -> ((s, dir) => {
       t(prep(s), dir, "events")
@@ -522,6 +561,29 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // q62 with round-6 AUTO-TUNED parameters: Similarity.suggestIvf sizes
+    // nlist by the √n rule, trains the quantizer, and walks nprobe up the
+    // sampled recall curve to the target. Same planted-twin structural
+    // contract as q62 — cell assignment is scale-invariant, so the ×2 twin
+    // shares its query's top-1 cell for ANY trained quantizer and ANY
+    // nprobe ≥ 1 — making the oracle parameter-independent and certifying
+    // the auto path end-to-end (choice QUALITY on clustered vs uniform
+    // corpora is spec-asserted in SimilarityAutoSpec).
+    "q66_ann_ivf_auto" -> ((s, dir) => {
+      val emb = t(prep(s), dir, "embeddings")
+      val aug = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(emb.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      val queries = emb.where(col("vec_id") % 5 === 0 && col("vec_id") < 100)
+      val (model, params) = Similarity.suggestIvf(emb, recallTarget = 0.9)
+      Similarity.ivfTopKWith(model, aug, queries, 10, nprobe = params.nprobe)
+        .where(col("neighbor_id") === col("query_id") + 100000L)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id")
+    }),
+
     // PERSISTED IVF index, certified EXACT: the corpus is written through
     // the lineage sink bucketed by quantizer cell (the layout IS the
     // index), then searched with nprobe = nlist — which reads every bucket
@@ -534,7 +596,7 @@ object SparkEntry {
     "q63_ann_ivf_index" -> ((s, dir) => {
       val emb = t(prep(s), dir, "embeddings")
       val queries = emb.where(col("vec_id").isin(1L, 2L, 3L))
-      val tmp = java.nio.file.Files.createTempDirectory("q63_ivf_index").toString
+      val tmp = tmpDir("q63_ivf_index")
       val model = Similarity.trainIvf(emb, nlist = 8, iters = 5)
       Similarity.writeIvfIndex(emb, tmp, model, groups = 2)
       Similarity.searchIvfIndex(queries, tmp, 10, nprobe = 8)
@@ -554,7 +616,7 @@ object SparkEntry {
       val ev = t(prep(s), dir, "events")
         .select(col("event_id"), col("user_id"),
           (col("user_id") % 8).cast("string").as("bucket"))
-      val tmp = java.nio.file.Files.createTempDirectory("q64_tt").toString
+      val tmp = tmpDir("q64_tt")
       graft.sources.LineageSink.write(
         ev.where(col("event_id") % 2 === 0), tmp, "bucket")
       val boundary = graft.sources.LineageSink.manifest(s, tmp)
@@ -1106,7 +1168,7 @@ object SparkEntry {
         col("doc_id"),
         concat(lit("b"), pmod(col("doc_id"), lit(7)).cast("string")).as("bucket"),
         col("n_chars"))
-      val tmp = java.nio.file.Files.createTempDirectory("q44_lineage").toString
+      val tmp = tmpDir("q44_lineage")
       graft.sources.LineageSink.write(
         docs.where(pmod(col("doc_id"), lit(7)) <= 2), tmp, "bucket")
       graft.sources.LineageSink.injectCrashMidStaging(
@@ -1245,6 +1307,15 @@ object SparkEntry {
          |             FROM keys GROUP BY 1)
          |SELECT group_size, COUNT(*) AS n_groups
          |FROM groups GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // planted-copy enumeration: re-encode moves the phash ≤ 1 bit on every
+    // pattern (PhashProbe), so each planted pair is guaranteed at
+    // maxHamming = 3 — the truth is the key set itself
+    "q65_image_phash_neardup" ->
+      s"""WITH keys AS (${graft.sources.Images.keysSql})
+         |SELECT printf('img_%09d', k) AS id_a,
+         |       're_' || printf('img_%09d', k) AS id_b
+         |FROM keys WHERE k % 5 = 0 ORDER BY 1""".stripMargin,
 
     "q14_token_stats" ->
       s"""SELECT doc_id, ${TextOps.nTokensSql("text")} AS n_tokens,
@@ -1600,6 +1671,16 @@ object SparkEntry {
     // trained quantizer (IvfSpec proves the structural property and the
     // nprobe = nlist ≡ brute-force exactness)
     "q62_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |  q AS (SELECT vec_id AS query_id, v FROM e
+        |        WHERE vec_id % 5 = 0 AND vec_id < 100)
+        |SELECT query_id, query_id + 100000 AS neighbor_id,
+        |  round(list_cosine_similarity(list_transform(v, x -> x * 2), v), 6) AS cosine
+        |FROM q ORDER BY query_id""".stripMargin,
+
+    // same planted-twin truth as q62 — the auto-tuner cannot break a
+    // structural guarantee that holds for every (nlist, nprobe ≥ 1)
+    "q66_ann_ivf_auto" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |  q AS (SELECT vec_id AS query_id, v FROM e
         |        WHERE vec_id % 5 = 0 AND vec_id < 100)

@@ -109,15 +109,19 @@ object Gf {
       WarnLargeBucket(e(0), e(1), thr.asInstanceOf[Number].longValue(), tag.toString)
     }),
     "ivf_cells" -> (e => {
-      // centroids/nprobe must be non-null literals: the matrix is a
-      // plan-time constant (trained on a sample) baked into the kernel
-      require(e.length == 3 && e(1).foldable && e(2).foldable,
-        "ivf_cells(vec, centroids, nprobe): centroids and nprobe must be literals")
-      val cents = e(1).eval(); val np = e(2).eval()
-      require(cents != null && np != null,
-        "ivf_cells: centroids and nprobe must be non-null")
+      // centroids/dim/nprobe must be non-null literals: the matrix is a
+      // plan-time constant (trained on a sample) baked into the kernel, and
+      // the trained dim rides along so the per-row check is EXACT (a
+      // divisibility check silently mis-assigned dim-compatible vectors —
+      // ADVICE round 5)
+      require(e.length == 4 && e(1).foldable && e(2).foldable && e(3).foldable,
+        "ivf_cells(vec, centroids, dim, nprobe): centroids, dim and nprobe must be literals")
+      val cents = e(1).eval(); val d = e(2).eval(); val np = e(3).eval()
+      require(cents != null && d != null && np != null,
+        "ivf_cells: centroids, dim and nprobe must be non-null")
       IvfCells(e(0),
         cents.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+        d.asInstanceOf[Number].intValue(),
         np.asInstanceOf[Number].intValue())
     }),
     "topk_agg" -> (e => TopKAgg(e(0), e(1), e(2))),
@@ -216,8 +220,8 @@ object Gf {
     call_function("minhash_sig", shingles, lit(numHashes))
   def hyperplaneSig(v: Column, planes: Int, seed: Long): Column =
     call_function("hyperplane_sig", v, lit(planes), lit(seed))
-  def ivfCells(v: Column, centroids: Array[Double], nprobe: Int): Column =
-    call_function("ivf_cells", v, lit(centroids), lit(nprobe))
+  def ivfCells(v: Column, centroids: Array[Double], dim: Int, nprobe: Int): Column =
+    call_function("ivf_cells", v, lit(centroids), lit(dim), lit(nprobe))
   def h3LatLng(id: Column): Column = call_function("h3_latlng", id)
   def dtwLatLng(a: Column, b: Column): Column = call_function("dtw_latlng", a, b)
   def fastDtwLatLng(a: Column, b: Column, radius: Int = 1): Column =

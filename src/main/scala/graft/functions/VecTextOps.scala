@@ -195,12 +195,16 @@ object VecTextOps {
     * cosine, and the query vector itself needs NO normalization: a positive
     * scale multiplies every dot by the same exact power-of-two-safe factor,
     * so the ranking is scale-invariant). Ties keep the LOWER index
-    * (deterministic). Loud error on a dimension mismatch — a silently
-    * truncated dot would mis-assign every row of a ragged corpus. */
-  def ivfCells(v: ArrayData, centroids: Array[Double], nprobe: Int): ArrayData = {
+    * (deterministic). Loud error on a dimension mismatch — `dim` is the
+    * TRAINED model dimension (a plan-time constant), checked EXACTLY per
+    * row: the round-5 divisibility check silently mis-assigned any vector
+    * whose length merely divided the matrix (e.g. a dim-64 vector against a
+    * 32×128 model, 4096 % 64 == 0 — ADVICE round 5). */
+  def ivfCells(v: ArrayData, centroids: Array[Double], dim: Int,
+               nprobe: Int): ArrayData = {
     val n = v.numElements()
-    require(n > 0 && centroids.length % n == 0,
-      s"ivf_cells: vector dim $n does not divide centroid matrix of ${centroids.length}")
+    require(n == dim,
+      s"ivf_cells: vector dim $n != trained model dim $dim")
     val nlist = centroids.length / n
     val np = math.min(nprobe, nlist)
     require(np >= 1, s"ivf_cells: nprobe must be >= 1, got $nprobe")

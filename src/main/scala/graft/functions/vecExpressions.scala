@@ -26,16 +26,17 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
   * carried as a constructor field and shipped to codegen as a reference
   * object, so the kernel reads a raw double[] — no per-row ArrayData
   * re-extraction of a 4096-element literal. */
-case class IvfCells(child: Expression, centroids: Array[Double], nprobe: Int)
+case class IvfCells(child: Expression, centroids: Array[Double], dim: Int,
+                    nprobe: Int)
     extends UnaryExpression {
   override def prettyName: String = "ivf_cells"
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    VecTextOps.ivfCells(v.asInstanceOf[ArrayData], centroids, nprobe)
+    VecTextOps.ivfCells(v.asInstanceOf[ArrayData], centroids, dim, nprobe)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[]")
-    defineCodeGen(ctx, ev, v => s"$V.ivfCells($v, $cRef, $nprobe)")
+    defineCodeGen(ctx, ev, v => s"$V.ivfCells($v, $cRef, $dim, $nprobe)")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

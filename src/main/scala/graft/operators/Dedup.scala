@@ -189,11 +189,44 @@ object Dedup {
       .select(carried :+ col("bc.band").as("band") :+ col("bc.chunk").as("chunk"): _*)
   }
 
-  /** (id, simhash, band chunks) blocking rows for the hamming variant. */
-  private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
-                            bands: Int = 4): DataFrame =
-    bandChunks(spread(df).select(col(idCol).as("id"),
-      Gf.simhash64(TextOps.tokens(col(textCol))).as("sh")), "sh", bands)
+  /** Hamming-banded near-dup pairs over ANY precomputed 64-bit hash column:
+    * the ONE home of chunk-block → self-join → hamming-verify (round-6 —
+    * generalized out of [[simhashPairs]] so the image phash path shares the
+    * exact layout instead of duplicating it). `hashed` must be (id, h).
+    * Pigeonhole recall: a pair with hamming < bands shares ≥ 1 chunk, so
+    * for the default 4×16-bit layout every pair at hamming ≤ 3 is a
+    * candidate — recall 1.0 at the threshold, not probabilistic. Bands = 0
+    * picks the volume-aware width ([[suggestSimhashBands]]); note finer
+    * widths strengthen the pigeonhole bound while SHRINKING the chunk key
+    * space (collision mass), the trade documented on
+    * [[simhashJaccardPairs]]. The hash payload is one long — it rides the
+    * band shuffle (8 bytes × bands, cheaper than a join back). */
+  private def hammingPairs(hashed: DataFrame, maxHamming: Int, bands: Int,
+                           maxBucketSize: Int, warnTag: String,
+                           nHint: Long): DataFrame = {
+    val chosenBands =
+      if (bands > 0) bands
+      else suggestSimhashBands(if (nHint > 0L) nHint else hashed.count())
+    // the pigeonhole guarantee holds only for maxHamming < bands (and
+    // uncapped buckets); wider chunks are a legitimate volume-aware
+    // degraded mode (identical-copy recall survives at every width) but
+    // must be observable, never silent
+    if (maxHamming >= chosenBands)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"hammingPairs: maxHamming=$maxHamming >= bands=$chosenBands — the " +
+          "pigeonhole recall guarantee at this threshold is void; only " +
+          "pairs sharing a full chunk (e.g. identical hashes) are candidates")
+    val banded = capBuckets(bandChunks(hashed, "h", chosenBands),
+      Seq("band", "chunk"), maxBucketSize, warnTag = warnTag)
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("h").as("h_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("h").as("h_b"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", Gf.hamming64(col("h_a"), col("h_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 
   /** SimHash near-duplicate pairs: 64-bit token-vote hash, 4×16-bit band
     * blocking, hamming ≤ maxHamming verification. The hash payload is one
@@ -209,18 +242,44 @@ object Dedup {
     * [[capBuckets]]) so the n² blowup is diagnosable, never silent. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   maxBucketSize: Int = 0): DataFrame = {
-    val banded = capBuckets(simhashBanded(df, idCol, textCol),
-      Seq("band", "chunk"), maxBucketSize, warnTag = "simhashPairs")
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "chunk"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", Gf.hamming64(col("sh_a"), col("sh_b")))
-      .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-  }
+                   maxBucketSize: Int = 0): DataFrame =
+    hammingPairs(
+      spread(df).select(col(idCol).as("id"),
+        Gf.simhash64(TextOps.tokens(col(textCol))).as("h")),
+      maxHamming, bands = 4, maxBucketSize, warnTag = "simhashPairs",
+      nHint = 0L)
+
+  /** Image NEAR-duplicate pairs by perceptual-hash hamming banding — the
+    * re-encoded / recompressed-copy detector the exact md5 pass
+    * ([[exact]] / q13) structurally cannot catch: lossy re-encoding changes
+    * every byte but barely moves the 64-bit average phash, so near-copies
+    * sit within a few hamming bits. Same pigeonhole layout as
+    * [[simhashPairs]] (4×16-bit chunks guarantee every pair at hamming ≤ 3
+    * is a candidate), same volume-aware width option (`bands = 0` →
+    * [[suggestSimhashBands]]), same explicit capping story. `hashCol` is a
+    * precomputed int64 phash — the input contract ships one
+    * (BASELINE.json input_hint `phash:int64`); use [[phashPairsFromBytes]]
+    * when only bytes are at hand. Scale shape: blocking touches ONLY
+    * (id, phash) — 16 bytes/row — never the image bytes; at 10¹² images the
+    * band shuffle is the narrow one the 100-TB plan needs. */
+  def phashPairs(df: DataFrame, idCol: String, hashCol: String,
+                 maxHamming: Int = 3, bands: Int = 4,
+                 maxBucketSize: Int = 0, nHint: Long = 0L): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"), col(hashCol).cast("long").as("h")),
+      maxHamming, bands, maxBucketSize, warnTag = "phashPairs", nHint = nHint)
+
+  /** [[phashPairs]] computing the phash from an image-bytes column (one
+    * codegen decode+hash projection — [[graft.functions.Gf.imgPhash]]);
+    * [[spread]] widens a small single-file input so the decode kernel
+    * parallelizes. */
+  def phashPairsFromBytes(df: DataFrame, idCol: String, bytesCol: String,
+                          maxHamming: Int = 3, bands: Int = 4,
+                          maxBucketSize: Int = 0, nHint: Long = 0L): DataFrame =
+    hammingPairs(
+      spread(df).select(col(idCol).as("id"),
+        Gf.imgPhash(col(bytesCol)).as("h")),
+      maxHamming, bands, maxBucketSize, warnTag = "phashPairs", nHint = nHint)
 
   /** SimHash-blocked exact-Jaccard near-dup pairs: candidates from
     * 4×16-bit simhash chunk blocking (the classic web-dedup layout),
@@ -257,7 +316,15 @@ object Dedup {
     // about order of magnitude) or an explicit `bands`
     val chosenBands =
       if (bands > 0) bands
-      else suggestSimhashBands(if (nHint > 0L) nHint else df.count())
+      else {
+        val b = suggestSimhashBands(if (nHint > 0L) nHint else df.count())
+        // the auto choice changes blocking sensitivity with corpus size —
+        // make it observable to callers (ADVICE round 5)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"simhashJaccardPairs: auto-selected $b band(s) of ${64 / b} bits" +
+            (if (nHint > 0L) s" from nHint=$nHint" else " from df.count()"))
+        b
+      }
     // one projection computes the simhash AND the shingle count, so the
     // lossless size prefilter can ride the band shuffle (one int per row)
     val proj = spread(df).select(col(idCol).as("id"),

@@ -276,6 +276,12 @@ object Streams {
     } finally {
       query.stop()
       spark.catalog.dropTempView(name)
+      // the per-invocation checkpoint is harness-scoped state — delete it
+      // (repeated Verify/test runs were accumulating orphan dirs under
+      // /tmp, ADVICE round 5)
+      try org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(checkpoint))
+      catch { case _: java.io.IOException => () }
     }
     spark.createDataset(rows.toIndexedSeq).toDF()
   }

@@ -70,6 +70,28 @@ object DedupScaleDrive {
       graft.operators.Dedup.simhashJaccardPairs(corpus, "doc_id", "text",
         threshold = 0.9).count()
     }
+    // phash hamming banding over int64 hashes (the BASELINE.json input_hint
+    // shape: `phash:int64` ships WITH the table, so banding — not decode —
+    // is the whole op at scale): every 5th id gets a planted copy exactly
+    // 3 bits away, so the true answer is one pair per planted copy and
+    // grows linearly with M. Random cross-collisions at d ≤ 3 between
+    // 64-bit hashes are ~2e-2 EXPECTED over all ~7e12 pairs at M=64 —
+    // observed count printing above the exact floor flags them.
+    val pmask = (1L << 3) | (1L << 21) | (1L << 47) // popcount 3 = maxHamming
+    val pbase = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+    val phashed = (0 until m).map { r =>
+      pbase.select((col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+        xxhash64(col("doc_id"), lit(r)).as("phash"))
+    }.reduce(_ unionAll _)
+    val pcorpus = phashed.unionAll(
+      phashed.where(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + lit(1000000000L)).as("doc_id"),
+        col("phash").bitwiseXOR(lit(pmask)).as("phash")))
+    run("phash_neardup") {
+      graft.operators.Dedup.phashPairs(pcorpus, "doc_id", "phash",
+        maxHamming = 3).count()
+    }
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     // M ≤ 16: the round-3/4 extended-Hamming(8,4) sign code (comparable
     // numbers). M > 16: Walsh functions χ_r(i) = (−1)^popcount(r & i) over

@@ -63,6 +63,21 @@ class IvfIndexSpec extends AnyFunSuite {
       key(Similarity.bruteForceTopK(corpus, queries, 5)))
   }
 
+  test("maxQueryBatch bound is loud, and under it results are unchanged") {
+    val dir = freshDir()
+    Similarity.writeIvfIndex(corpus, dir, model, groups = 1)
+    // the probe side is queries × nprobe rows: 16 × 2 = 32 > 31 must abort
+    // loudly BEFORE an unbounded driver materialization
+    val e = intercept[IllegalArgumentException](
+      Similarity.searchIvfIndex(queries, dir, 5, nprobe = 2,
+        maxQueryBatch = 31).collect())
+    assert(e.getMessage.contains("maxQueryBatch"))
+    // exactly at the bound the search is unchanged
+    assert(key(Similarity.searchIvfIndex(queries, dir, 5, nprobe = 2,
+      maxQueryBatch = 32)) ===
+      key(Similarity.searchIvfIndex(queries, dir, 5, nprobe = 2)))
+  }
+
   test("manifest pruning: a search plans only the probed buckets' files") {
     val dir = freshDir()
     Similarity.writeIvfIndex(corpus, dir, model, groups = 1)

@@ -51,19 +51,27 @@ class IvfSpec extends AnyFunSuite {
       Array(3.0f, 1.0f))
     val a2 = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       Array(12.0f, 4.0f)) // ×4 scaling — same direction
-    assert(VecTextOps.ivfCells(a, cents, 2).toIntArray.toSeq === Seq(0, 1))
-    assert(VecTextOps.ivfCells(a2, cents, 2).toIntArray.toSeq === Seq(0, 1))
+    assert(VecTextOps.ivfCells(a, cents, 2, 2).toIntArray.toSeq === Seq(0, 1))
+    assert(VecTextOps.ivfCells(a2, cents, 2, 2).toIntArray.toSeq === Seq(0, 1))
     // exact tie (45°): both dots equal → lower index first
     val tie = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       Array(1.0f, 1.0f))
-    assert(VecTextOps.ivfCells(tie, cents, 2).toIntArray.toSeq === Seq(0, 1))
+    assert(VecTextOps.ivfCells(tie, cents, 2, 2).toIntArray.toSeq === Seq(0, 1))
     // nprobe caps at nlist
-    assert(VecTextOps.ivfCells(a, cents, 7).numElements() === 2)
+    assert(VecTextOps.ivfCells(a, cents, 2, 7).numElements() === 2)
     // dimension mismatch is a loud error, not a truncated dot
     val bad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       Array(1.0f, 2.0f, 3.0f))
-    val e = intercept[IllegalArgumentException](VecTextOps.ivfCells(bad, cents, 1))
-    assert(e.getMessage.contains("does not divide"))
+    val e = intercept[IllegalArgumentException](
+      VecTextOps.ivfCells(bad, cents, 2, 1))
+    assert(e.getMessage.contains("!= trained model dim"))
+    // EXACT dim check (round-6, ADVICE): a vector whose length merely
+    // DIVIDES the matrix must fail too — dim-4 vector vs a 2x2 model
+    val div = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(1.0f, 2.0f, 3.0f, 4.0f))
+    val e2 = intercept[IllegalArgumentException](
+      VecTextOps.ivfCells(div, cents, 2, 1))
+    assert(e2.getMessage.contains("!= trained model dim"))
   }
 
   test("trainIvf: deterministic, unit-norm centroids, loud empty/ragged errors") {

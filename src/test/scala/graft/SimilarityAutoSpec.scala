@@ -77,6 +77,55 @@ class SimilarityAutoSpec extends AnyFunSuite {
       loose.planes, loose.tables - 1, 0.0), 0.90))
   }
 
+  // ---- round-6: suggestIvf (nlist by √n, nprobe by sampled recall) ----
+
+  // 8 tight direction clusters — IVF cells align with real structure, so
+  // few probes already reach the target
+  lazy val ivfClustered = toDf((0L until 3000L).map { i =>
+    val base = vec(i % 8, 99L)
+    val jit = vec(i, 3L)
+    (i, Array.tabulate(Dim)(d => base(d) + 0.05f * jit(d)))
+  }).cache()
+
+  test("suggestIvf: √n nlist, deterministic, clustered needs fewer probes than uniform") {
+    val (mc, pc) = Similarity.suggestIvf(ivfClustered, recallTarget = 0.9,
+      nHint = 3000L)
+    // √3000 ≈ 55
+    assert(pc.nlist === 55 && mc.nlist === 55, s"nlist off the √n rule: $pc")
+    assert(pc.sampledRecall >= 0.9 || pc.nprobe === pc.nlist,
+      s"walk stopped below target without exhausting probes: $pc")
+    val (_, pu) = Similarity.suggestIvf(uniform, recallTarget = 0.9,
+      nHint = 3000L)
+    assert(pc.nprobe <= pu.nprobe,
+      s"clustered should need <= probes than uniform: $pc vs $pu")
+    // deterministic end to end
+    val (mc2, pc2) = Similarity.suggestIvf(ivfClustered, recallTarget = 0.9,
+      nHint = 3000L)
+    assert(pc2 === pc && mc2.centroids.toSeq === mc.centroids.toSeq)
+  }
+
+  test("suggestIvf: tighter target never needs fewer probes; nprobe capped at nlist") {
+    val (_, lo) = Similarity.suggestIvf(uniform, recallTarget = 0.5, nHint = 3000L)
+    val (_, hi) = Similarity.suggestIvf(uniform, recallTarget = 0.99, nHint = 3000L)
+    assert(hi.nprobe >= lo.nprobe, s"$hi vs $lo")
+    assert(hi.nprobe <= hi.nlist && lo.nprobe >= 1)
+  }
+
+  test("suggestIvf parameters drive ivfTopKWith: planted twin found at the auto nprobe") {
+    val aug = ivfClustered.unionAll(
+      ivfClustered.where(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val queries = ivfClustered.where(col("vec_id") % 7 === 0 && col("vec_id") < 70)
+    val (model, params) = Similarity.suggestIvf(ivfClustered,
+      recallTarget = 0.9, nHint = 3000L)
+    val hits = Similarity.ivfTopKWith(model, aug, queries, 5,
+        nprobe = params.nprobe)
+      .where(col("neighbor_id") === col("query_id") + 100000L).count()
+    assert(hits === queries.count(),
+      "every planted twin must surface at any nprobe >= 1")
+  }
+
   test("suggested parameters drive the existing operators unchanged") {
     val p = Similarity.suggestLsh(clustered, designCos = 0.97)
     val pairs = Similarity.cosineNearDupPairs(clustered, threshold = 0.999,

@@ -112,4 +112,62 @@ class StreamingEngineSpec extends AnyFunSuite with TimeLimits {
       assert(got === batchTruth)
     }
   }
+
+  test("engine: lineage sink over real micro-batches; a forced checkpoint replay lands exactly once") {
+    failAfter(Span(300, Seconds)) {
+      import graft.sources.LineageSink
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("engine-sink").toString
+      val checkpoint =
+        java.nio.file.Files.createTempDirectory("engine-sink-ckpt").toString
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val source = MemoryStream[SessEventTs]
+      def start() = Streams.lineageSink(
+        source.toDF().withColumn("bucket",
+          pmod(col("user_id"), lit(4)).cast("string")),
+        dir, "bucket", checkpoint).start()
+
+      val q1 = start()
+      try
+        for (batch <- events.grouped(64))
+          { source.addData(batch: _*); q1.processAllAvailable() }
+      finally q1.stop()
+
+      def state(): (Long, Map[String, Long]) = {
+        val snap = LineageSink.snapshot(spark, dir)
+        (snap.count(), snap.groupBy("bucket")
+          .agg(sum("event_id").as("s")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      }
+      val (n1, sums1) = state()
+      assert(n1 === events.size.toLong, "stream total != batch total")
+      val want = events.groupBy(e => (e.user_id % 4).toString)
+        .view.mapValues(_.map(_.event_id).sum).toMap
+      assert(sums1 === want, "per-bucket streamed content != batch truth")
+
+      // FORCE a replay of the last committed micro-batch: drop its commit
+      // marker from the checkpoint (exactly the state a crash between
+      // foreachBatch and checkpoint-commit leaves), clear the driver-side
+      // seen cache (a fresh driver), restart from the same checkpoint —
+      // the batch re-fires and the sink's idempotent jobId commit must
+      // swallow it
+      val commits = new java.io.File(s"$checkpoint/commits")
+        .listFiles().filter(_.getName.forall(_.isDigit))
+      assert(commits.nonEmpty)
+      val last = commits.maxBy(_.getName.toLong)
+      // local ChecksumFs keeps a sibling .N.crc — a real HDFS/S3 checkpoint
+      // has no such file; leaving it behind would block the re-commit with
+      // FileAlreadyExists on the crc, a test-harness artifact not part of
+      // the crash shape under test
+      val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+      if (crc.exists()) assert(crc.delete())
+      assert(last.delete())
+      LineageSink.resetSeenCache()
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      assert(state() === ((n1, sums1)),
+        "replayed micro-batch duplicated rows — exactly-once broken")
+    }
+  }
 }

@@ -725,6 +725,19 @@ object LineageSink {
       }
     }
 
+    // seq-claim pruning: every commit lists manifest/seq/ to claim the next
+    // number, so an unpruned dir costs O(commits) listing PER commit —
+    // quadratic over a sink's life. Only the maximum matters for future
+    // claims (claims exceed the max visible), so dropping the rest is safe
+    // against concurrent claimers: the max is kept, the visible maximum
+    // never decreases, monotonicity holds. expireSuperseded does the same.
+    val seqDir = new Path(s"${manifestDir(dir)}/seq")
+    if (fs.exists(seqDir)) {
+      val names = fs.listStatus(seqDir).map(_.getPath.getName)
+        .filter(_.forall(_.isDigit)).sorted
+      names.dropRight(1).foreach(n => fs.delete(new Path(seqDir, n), false))
+    }
+
     val (flats2, versions2) = manifestParts(fs, dir)
     if (flats2.isEmpty && versions2.size <= 1) return manifest(spark, dir)
     val covered = (flats2 ++ versions2).map(_.getPath)

@@ -632,6 +632,33 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // Round-6 data compaction + expiry, certified through the oracle gate:
+    // the table lands as THREE commits per bucket (many small files),
+    // compactData bin-packs every bucket through the same two-phase commit,
+    // expireSuperseded retires the superseded files at a zero horizon — and
+    // the snapshot after BOTH maintenance passes must still equal a DuckDB
+    // recompute of the full table. Catches any maintenance bug that loses,
+    // duplicates, or re-keys rows (the "007"≠7 partition-inference trap is
+    // on this path: buckets are digit strings).
+    "q67_sink_compaction" -> ((s, dir) => {
+      val ev = t(prep(s), dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (col("user_id") % 8).cast("string").as("bucket"))
+      val tmp = tmpDir("q67_compact")
+      for (m <- 0 until 3)
+        graft.sources.LineageSink.write(
+          ev.where(pmod(col("event_id"), lit(3)) === m), tmp, "bucket")
+      val compacted = graft.sources.LineageSink.compactData(s, tmp)
+      require(compacted == 8, s"q67: expected 8 buckets compacted, got $compacted")
+      val expired =
+        graft.sources.LineageSink.expireSuperseded(s, tmp, olderThanMs = 0L)
+      require(expired > 0, "q67: expiry retired nothing")
+      graft.sources.LineageSink.snapshot(s, tmp)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .orderBy("bucket")
+    }),
+
     // SimHash blocking with exact-Jaccard verification. STRUCTURAL recall
     // contract: gate only the planted exact copies (identical text →
     // identical simhash → guaranteed block, jaccard exactly 1.0). Organic
@@ -1710,6 +1737,15 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM events WHERE event_id % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // maintenance must be invisible: the post-compaction post-expiry
+    // snapshot is just the full table
+    "q67_sink_compaction" ->
+      """SELECT CAST(user_id % 8 AS VARCHAR) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // planted-copy recall certificate: identical text → jaccard exactly 1

@@ -53,6 +53,17 @@ class LineageDataCompactionSpec extends AnyFunSuite {
     assert(LineageSink.compactData(spark, dir) === 4)
     assert(ids(LineageSink.snapshot(spark, dir)) === (0L until 360L).toSet)
     assert(currentFileCount(dir) === 4)
+
+    // CHAINED supersession (compact-2 → compact-1 → originals): expiry must
+    // retire every non-head generation's files in one pass, leave the
+    // current read untouched, and be idempotent
+    val live = LineageSink.snapshot(spark, dir).inputFiles.toSet
+    val deleted = LineageSink.expireSuperseded(spark, dir, olderThanMs = 0L)
+    assert(deleted > 0, "two superseded generations must retire files")
+    assert(LineageSink.snapshot(spark, dir).inputFiles.toSet === live,
+      "expiry must not touch the head generation's files")
+    assert(ids(LineageSink.snapshot(spark, dir)) === (0L until 360L).toSet)
+    assert(LineageSink.expireSuperseded(spark, dir, olderThanMs = 0L) === 0)
   }
 
   test("single-bucket compaction and maxRecordsPerFile splitting") {

@@ -494,11 +494,23 @@ object Similarity {
     * probed-cell set is at most `nlist` small ints — a bounded driver
     * collect), and run the broadcast probe join + bounded top-k over ONLY
     * those buckets' files. Same output shape as [[bruteForceTopK]];
-    * `nprobe = nlist` reads the whole index and is exact. */
+    * `nprobe = nlist` reads the whole index and is exact.
+    *
+    * `asOfSeq` (round-6): POINT-IN-TIME search — candidates restricted to
+    * commits at or below the given [[graft.sources.LineageSink.latestSeq]]
+    * boundary, composed WITH the bucket pruning (the manifest is filtered
+    * before any file is planned, so a historical pruned search stays
+    * O(nprobe/nlist) of the boundary's corpus). Appends never touch the
+    * persisted quantizer (equality-guarded), so cell assignment is
+    * identical at every boundary — an as-of search is exactly "the search
+    * this index answered then", which is what makes retrieval experiments
+    * over a growing corpus reproducible. Boundaries below an expiry
+    * watermark refuse loudly (the files are gone). */
   def searchIvfIndex(queries: DataFrame, dir: String, k: Int, nprobe: Int = 8,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     maxQueryBatch: Int = 100000): DataFrame = {
+                     maxQueryBatch: Int = 100000,
+                     asOfSeq: Option[Long] = None): DataFrame = {
     val spark = queries.sparkSession
     require(nprobe >= 1, s"searchIvfIndex: nprobe must be >= 1, got $nprobe")
     require(maxQueryBatch >= 1,
@@ -528,8 +540,12 @@ object Similarity {
     val q = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qPlan.schema)
     val probed = qRows.map(_.getInt(cellAt)).distinct
-    val cand = graft.sources.LineageSink.snapshotWhere(spark, dir,
-      col("bucket").isin(probed.map(_.toString): _*))
+    val bucketPred = col("bucket").isin(probed.map(_.toString): _*)
+    val cand = asOfSeq match {
+      case Some(seq) => graft.sources.LineageSink
+        .snapshotWhereAsOfSeq(spark, dir, seq, bucketPred)
+      case None => graft.sources.LineageSink.snapshotWhere(spark, dir, bucketPred)
+    }
     if (cand.columns.isEmpty) {
       // schema-faithful empty result: id columns keep the QUERY frame's id
       // type (ids need not be longs), so callers can union/compare against

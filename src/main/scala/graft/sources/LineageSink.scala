@@ -868,7 +868,17 @@ object LineageSink {
     * has landed (see claimSeq); [[latestSeq]] gives the landed maximum.
     * Legacy rows without a sequence (pre-round-6 commits) are EXCLUDED —
     * sequence-based travel covers the sequenced era. */
-  def snapshotAsOfSeq(spark: SparkSession, dir: String, seq: Long): DataFrame = {
+  def snapshotAsOfSeq(spark: SparkSession, dir: String, seq: Long): DataFrame =
+    snapshotWhereAsOfSeq(spark, dir, seq, lit(true))
+
+  /** [[snapshotAsOfSeq]] composed with manifest-side pruning: the as-of
+    * boundary AND `predicate` both restrict the manifest BEFORE any file is
+    * planned, so a pruned historical read (e.g. a point-in-time IVF search
+    * probing p of B buckets) costs O(p/B) of the boundary's listing — not a
+    * full historical snapshot filtered after the fact. Same loud expiry-
+    * watermark guard as the unpruned variant. */
+  def snapshotWhereAsOfSeq(spark: SparkSession, dir: String, seq: Long,
+                           predicate: org.apache.spark.sql.Column): DataFrame = {
     readWatermark(fileSystem(spark, dir), dir).foreach { case (_, wseq) =>
       require(seq >= wseq,
         s"snapshotAsOfSeq: seq $seq predates the expiry watermark seq $wseq " +
@@ -876,7 +886,7 @@ object LineageSink {
           "no longer exist")
     }
     snapshotWhere(spark, dir,
-      col("commit_seq").isNotNull && col("commit_seq") <= seq)
+      predicate && col("commit_seq").isNotNull && col("commit_seq") <= seq)
   }
 
   // ------------------------------------- data compaction + expiry --------

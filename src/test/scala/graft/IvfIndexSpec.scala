@@ -113,6 +113,39 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DIFFERENT quantizer"))
   }
 
+  test("point-in-time search: asOfSeq reproduces the pre-append answer exactly") {
+    val dir = freshDir()
+    val first = corpus.where(col("vec_id") < 400L)
+    val second = corpus.where(col("vec_id") >= 400L)
+    Similarity.writeIvfIndex(first, dir, model, groups = 2)
+    val buildSeq = LineageSink.latestSeq(spark, dir).get
+    val preAppend = key(Similarity.searchIvfIndex(queries, dir, 5, nprobe = 8))
+    Similarity.appendIvfIndex(second, dir)
+
+    // current search sees the union; the boundary search is EXACTLY the
+    // answer this index gave before the append (quantizer frozen, so cell
+    // assignment is identical at every boundary)
+    assert(key(Similarity.searchIvfIndex(queries, dir, 5, nprobe = 8)) ===
+      key(Similarity.bruteForceTopK(corpus, queries, 5)))
+    val asOf = key(Similarity.searchIvfIndex(queries, dir, 5, nprobe = 8,
+      asOfSeq = Some(buildSeq)))
+    assert(asOf === preAppend)
+    assert(asOf === key(Similarity.bruteForceTopK(first, queries, 5)))
+    // the boundary at the latest seq is the current answer
+    val top = LineageSink.latestSeq(spark, dir).get
+    assert(key(Similarity.searchIvfIndex(queries, dir, 5, nprobe = 8,
+      asOfSeq = Some(top))) ===
+      key(Similarity.searchIvfIndex(queries, dir, 5, nprobe = 8)))
+    // pruning composes with the boundary: a historical pruned search plans
+    // a strict subset of the historical snapshot's files
+    val histAll = LineageSink.snapshotAsOfSeq(spark, dir, buildSeq)
+      .inputFiles.toSet
+    val histPruned = Similarity.searchIvfIndex(queries.limit(1), dir, 5,
+      nprobe = 2, asOfSeq = Some(buildSeq)).inputFiles.toSet
+    assert(histPruned.nonEmpty && histPruned.subsetOf(histAll))
+    assert(histPruned.size < histAll.size)
+  }
+
   test("appendIvfIndex grows the index; search stays exact over the union") {
     val dir = freshDir()
     val first = corpus.where(col("vec_id") < 400L)

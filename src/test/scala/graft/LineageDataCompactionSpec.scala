@@ -95,6 +95,34 @@ class LineageDataCompactionSpec extends AnyFunSuite {
     assert(ids(LineageSink.snapshot(spark, dir2)) === (0L until 400L).toSet)
   }
 
+  test("null-bucket rows compact under the Hive default partition key") {
+    val dir = freshDir("compact-null")
+    // two commits, each with a null-bucket slice and a real bucket
+    for (k <- 0 until 2) {
+      val df = (k * 40 until (k + 1) * 40)
+        .map(i => (i.toLong, if (i % 2 == 0) null else "b1"))
+        .toDF("id", "bucket")
+      LineageSink.write(df, dir, "bucket")
+    }
+    def nullIds() = LineageSink.snapshot(spark, dir)
+      .where(col("bucket").isNull || col("bucket") === "__HIVE_DEFAULT_PARTITION__")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expectNull = (0 until 80).filter(_ % 2 == 0).map(_.toLong).toSet
+    assert(nullIds() === expectNull)
+    val before = ids(LineageSink.snapshot(spark, dir))
+
+    assert(LineageSink.compactData(spark, dir) === 2,
+      "both the null bucket and b1 must compact")
+    assert(ids(LineageSink.snapshot(spark, dir)) === before,
+      "null-bucket compaction must not lose or re-key rows")
+    assert(nullIds() === expectNull)
+    assert(currentFileCount(dir) === 2)
+    // expiry retires the superseded originals; the read is unchanged
+    assert(LineageSink.expireSuperseded(spark, dir, olderThanMs = 0L) > 0)
+    assert(ids(LineageSink.snapshot(spark, dir)) === before)
+    assert(nullIds() === expectNull)
+  }
+
   test("time-travel across a compaction stays exact until expiry; expiry is loud below the watermark") {
     val dir = freshDir("compact-tt")
     LineageSink.write(slice(0), dir, "bucket")

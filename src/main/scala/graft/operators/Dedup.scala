@@ -206,7 +206,15 @@ object Dedup {
                            nHint: Long): DataFrame = {
     val chosenBands =
       if (bands > 0) bands
-      else suggestSimhashBands(if (nHint > 0L) nHint else hashed.count())
+      else {
+        val b = suggestSimhashBands(if (nHint > 0L) nHint else hashed.count())
+        // volume-aware width changes the pigeonhole bound with corpus size
+        // — observable, like simhashJaccardPairs' auto path (ADVICE round 5)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"$warnTag: auto-selected $b band(s) of ${64 / b} bits" +
+            (if (nHint > 0L) s" from nHint=$nHint" else " from df.count()"))
+        b
+      }
     // the pigeonhole guarantee holds only for maxHamming < bands (and
     // uncapped buckets); wider chunks are a legitimate volume-aware
     // degraded mode (identical-copy recall survives at every width) but

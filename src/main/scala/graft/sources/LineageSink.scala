@@ -351,10 +351,10 @@ object LineageSink {
         if (n.startsWith(".mtmp-") &&
             !leaseLive(fs, dir, n.stripPrefix(".mtmp-"), horizon))
           fs.delete(s.getPath, true)
-        // watermark temp of a stamper that died between write and rename
-        if (n.startsWith(".wm-") &&
-            System.currentTimeMillis() - s.getModificationTime > horizon)
-          fs.delete(s.getPath, false)
+        // .wm- watermark temps are NOT swept here: after a crashed
+        // delete-then-rename they are the only record of the watermark
+        // (readWatermark max-merges them), and the next successful
+        // writeWatermark reaps them under the maintenance lease
         // INCOMPLETE snapshot dirs from a crashed compaction — but only
         // once stale, so an in-flight concurrent compaction isn't swept
         if (isVersionName(n) && s.isDirectory &&
@@ -405,6 +405,22 @@ object LineageSink {
       attempt += 1
     }
     throw new IllegalStateException(s"cannot claim a commit sequence under $seqDir")
+  }
+
+  /** Seq-claim pruning, run by both maintenance paths (compactManifest,
+    * expireSuperseded): every commit lists `manifest/seq/` to claim the
+    * next number, so an unpruned dir costs O(commits) listing PER commit —
+    * quadratic over a sink's life. Only the maximum matters for future
+    * claims (claims exceed the max visible), so dropping the rest is safe
+    * against concurrent claimers: the max is kept, the visible maximum
+    * never decreases, monotonicity holds. */
+  private def pruneSeqClaims(fs: FileSystem, dir: String): Unit = {
+    val seqDir = new Path(s"${manifestDir(dir)}/seq")
+    if (fs.exists(seqDir)) {
+      val names = fs.listStatus(seqDir).map(_.getPath.getName)
+        .filter(_.forall(_.isDigit)).sorted
+      names.dropRight(1).foreach(n => fs.delete(new Path(seqDir, n), false))
+    }
   }
 
   /** Highest LANDED commit sequence (None on an empty or legacy sink) —
@@ -530,6 +546,10 @@ object LineageSink {
         System.currentTimeMillis() + testClockSkewMs(spark))
       verifyOwned(fs, dir, attempt, pend)
       val seq = claimSeq(fs, dir, jobId)
+      // claimSeq can spin through many list+create rounds under contention;
+      // re-verify ownership right before the row lands, not just before the
+      // claim — a reaped-while-claiming attempt must abort loudly here
+      verifyOwned(fs, dir, attempt, pend)
       val rows = perBucket.map { case (b, n, _, _, keys) =>
         Row(b, n, keys, jobId, now, seq, replaces.get(b).orNull)
       }
@@ -725,18 +745,7 @@ object LineageSink {
       }
     }
 
-    // seq-claim pruning: every commit lists manifest/seq/ to claim the next
-    // number, so an unpruned dir costs O(commits) listing PER commit —
-    // quadratic over a sink's life. Only the maximum matters for future
-    // claims (claims exceed the max visible), so dropping the rest is safe
-    // against concurrent claimers: the max is kept, the visible maximum
-    // never decreases, monotonicity holds. expireSuperseded does the same.
-    val seqDir = new Path(s"${manifestDir(dir)}/seq")
-    if (fs.exists(seqDir)) {
-      val names = fs.listStatus(seqDir).map(_.getPath.getName)
-        .filter(_.forall(_.isDigit)).sorted
-      names.dropRight(1).foreach(n => fs.delete(new Path(seqDir, n), false))
-    }
+    pruneSeqClaims(fs, dir)
 
     val (flats2, versions2) = manifestParts(fs, dir)
     if (flats2.isEmpty && versions2.size <= 1) return manifest(spark, dir)
@@ -824,19 +833,32 @@ object LineageSink {
       .select(explode(col("files"))).distinct()
       .collect().map(_.getString(0))
     if (files.isEmpty) spark.emptyDataFrame
-    else {
-      // the recovered bucket column is ALWAYS StringType — the manifest's
-      // type, and the only type that round-trips every dir value exactly
-      // (inference would read bucket "007" back as int 7, silently
-      // re-keying the table vs its own manifest). Inference resolves at
-      // DataFrame creation, so restoring the conf immediately is safe.
-      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-      val prevInfer = spark.conf.get(inferKey)
-      spark.conf.set(inferKey, "false")
-      try spark.read.option("basePath", dataDir(dir))
-        .parquet(files.toIndexedSeq: _*)
-      finally spark.conf.set(inferKey, prevInfer)
-    }
+    else readData(spark, dir, files.toIndexedSeq)
+  }
+
+  /** Read committed data files with the bucket partition column PINNED to
+    * StringType via an explicit schema — the manifest's type, and the only
+    * type that round-trips every dir value exactly (inference would read
+    * bucket "007" back as int 7, silently re-keying the table vs its own
+    * manifest). An explicit schema instead of toggling the session's
+    * partitionColumnTypeInference conf: the sink explicitly supports
+    * CONCURRENT readers on one session, and a conf toggle races them (one
+    * reader's restore can re-enable inference under another's read, or
+    * strand the session with inference off). The bucket column name is
+    * derived from the partition dir (`<col>=<v>`) — never from the caller. */
+  private def readData(spark: SparkSession, dir: String,
+                       files: Seq[String]): DataFrame = {
+    val partDir = new Path(files.head).getParent.getName
+    require(partDir.contains("="),
+      s"unpartitioned data layout under ${dataDir(dir)}")
+    val bucketCol = partDir.substring(0, partDir.indexOf('='))
+    // one footer read gives the data columns; partitionBy stripped the
+    // bucket from the files, so append it (always last, always string)
+    val dataSchema = spark.read.parquet(files.head).schema
+    val full = StructType(dataSchema.filterNot(_.name == bucketCol) :+
+      StructField(bucketCol, StringType, nullable = true))
+    spark.read.option("basePath", dataDir(dir)).schema(full)
+      .parquet(files: _*)
   }
 
   /** Time-travel: the committed table AS OF `asOf` — exactly the rows whose
@@ -885,6 +907,12 @@ object LineageSink {
           "— history below it was expired by expireSuperseded and its files " +
           "no longer exist")
     }
+    // a fully pre-sequence sink has no commit_seq column at all — the
+    // documented "legacy rows are EXCLUDED" result is the empty frame, not
+    // an unresolved-column analysis error from the predicate below
+    val m = manifest(spark, dir)
+    if (m.columns.isEmpty || !m.columns.contains("commit_seq"))
+      return spark.emptyDataFrame
     snapshotWhere(spark, dir,
       predicate && col("commit_seq").isNotNull && col("commit_seq") <= seq)
   }
@@ -897,20 +925,33 @@ object LineageSink {
   private def watermarkPath(dir: String) =
     new Path(s"${manifestDir(dir)}/_expire_watermark")
 
+  /** The watermark is the MAX over the main file and any `.wm-` temps: a
+    * stamper that crashed between its delete-then-rename steps (the HDFS
+    * fallback) leaves the new value only in its temp — without the merge,
+    * the sink would silently drop the expire-snapshots guard while the
+    * expired files are already gone. Values are monotone, so any temp is a
+    * valid lower bound and max is always the true watermark. */
   private def readWatermark(fs: FileSystem, dir: String): Option[(Long, Long)] = {
-    val p = watermarkPath(dir)
-    try {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
-      val parts = s.split(' ')
-      Some((parts(0).toLong, parts(1).toLong))
-    } catch { case _: java.io.IOException => None }
+    def parse(p: Path): Option[(Long, Long)] =
+      try {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+        val parts = s.split(' ')
+        Some((parts(0).toLong, parts(1).toLong))
+      } catch { case _: java.io.IOException => None }
+    val temps =
+      try fs.listStatus(new Path(manifestDir(dir))).toSeq
+        .filter(_.getPath.getName.startsWith(".wm-"))
+        .flatMap(s => parse(s.getPath))
+      catch { case _: java.io.IOException => Seq.empty }
+    (parse(watermarkPath(dir)).toSeq ++ temps)
+      .reduceOption((a, b) => (math.max(a._1, b._1), math.max(a._2, b._2)))
   }
 
   private def writeWatermark(fs: FileSystem, dir: String,
                              ts: Long, seq: Long): Unit = {
-    val prev = readWatermark(fs, dir)
+    val prev = readWatermark(fs, dir) // max-merges crashed temps too
     val mts = math.max(ts, prev.map(_._1).getOrElse(Long.MinValue))
     val mseq = math.max(seq, prev.map(_._2).getOrElse(Long.MinValue))
     val tmp = new Path(s"${manifestDir(dir)}/.wm-${java.util.UUID.randomUUID()}")
@@ -919,12 +960,22 @@ object LineageSink {
     finally out.close()
     // local-FS rename-to-existing overwrites — here that is the WANTED
     // last-wins semantics (values only move up, and writers serialize on
-    // the maintenance lease); on HDFS delete-then-rename
+    // the maintenance lease); on HDFS delete-then-rename — a crash between
+    // the two is covered by readWatermark's temp merge
     if (!fs.rename(tmp, watermarkPath(dir))) {
       fs.delete(watermarkPath(dir), false)
       require(fs.rename(tmp, watermarkPath(dir)),
         s"cannot stamp expiry watermark at ${watermarkPath(dir)}")
     }
+    // the stamp now covers every temp's value (max-merged above) — reap
+    // leftovers here, under the maintenance lease, instead of in recover():
+    // a horizon-based sweep with staleMs=0 could nuke a LIVE stamper's
+    // write-to-rename window, and a reaped temp is load-bearing after a
+    // crashed delete-then-rename
+    try fs.listStatus(new Path(manifestDir(dir))).toSeq
+      .filter(_.getPath.getName.startsWith(".wm-"))
+      .foreach(s => fs.delete(s.getPath, false))
+    catch { case _: java.io.IOException => () }
   }
 
   /** Single-maintainer mutex for [[compactData]] / [[expireSuperseded]]:
@@ -1009,19 +1060,25 @@ object LineageSink {
     require(minFiles >= 2, s"compactData: minFiles must be >= 2, got $minFiles")
     recover(spark, dir)
     val fs = fileSystem(spark, dir)
-    val m = manifest(spark, dir)
-    if (m.columns.isEmpty || !m.columns.contains("files")) return 0
-    val cur = currentRows(m)
-    val scoped = bucket.map(b => cur.where(col("bucket") === lit(b))).getOrElse(cur)
-    // driver-side inventory: manifest-scale (rows+file NAMES), not data-scale
-    val inv = scoped.select(col("bucket"), col("job_id"), col("files"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getSeq[String](2)))
-    val byBucket = inv.groupBy(_._1)
-      .filter { case (_, rows) => rows.iterator.map(_._3.size).sum >= minFiles }
-    if (byBucket.isEmpty) return 0
+    // the inventory is read UNDER the maintenance lease: an inventory
+    // collected before acquisition could be committed AFTER a concurrent
+    // compaction of the same rows (A collects, B runs fully, A acquires the
+    // freed lease) — two current compaction rows would then both carry the
+    // originals' bytes, permanent silent duplication. Lease first makes
+    // every committed inventory post-date every earlier compaction's row.
     val uuid = acquireMaintenanceLease(fs, dir, staleMs(spark))
     val heartbeat = startHeartbeat(fs, dir, "__maintenance", staleMs(spark))
     try {
+      val m = manifest(spark, dir)
+      if (m.columns.isEmpty || !m.columns.contains("files")) return 0
+      val cur = currentRows(m)
+      val scoped = bucket.map(b => cur.where(col("bucket") === lit(b))).getOrElse(cur)
+      // driver-side inventory: manifest-scale (rows+file NAMES), not data-scale
+      val inv = scoped.select(col("bucket"), col("job_id"), col("files"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getSeq[String](2)))
+      val byBucket = inv.groupBy(_._1)
+        .filter { case (_, rows) => rows.iterator.map(_._3.size).sum >= minFiles }
+      if (byBucket.isEmpty) return 0
       val replaces: Map[String, Seq[String]] =
         byBucket.map { case (b, rows) => b -> rows.map(_._2).toSeq.sorted }.toMap
       // deterministic job id: a zombie twin of the same inventory dedups
@@ -1031,24 +1088,12 @@ object LineageSink {
           .mkString("").getBytes(StandardCharsets.UTF_8))
       val jobId = "compact-" + digest.take(16).map("%02x".format(_)).mkString
       val files = byBucket.valuesIterator.flatMap(_.iterator.flatMap(_._3)).toSeq
-      // bucket column name is the data layout's partition key — derive it
-      // from the partition dir (`<col>=<v>`) rather than asking the caller
-      // (a mismatch would silently re-key the table)
-      val partDir = new Path(files.head).getParent.getName
-      require(partDir.contains("="),
-        s"compactData: unpartitioned data layout under ${dataDir(dir)}")
-      val bucketCol = partDir.substring(0, partDir.indexOf('='))
-      // partition-type INFERENCE must be off for this read: an inferred
-      // numeric bucket would round-trip "007" → 7 → a DIFFERENT partition
-      // dir and a replaces key no manifest row matches — silent duplicates.
-      // The raw string value round-trips exactly (inference resolves at
-      // DataFrame creation, so restoring the conf immediately is safe).
-      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-      val prevInfer = spark.conf.get(inferKey)
-      spark.conf.set(inferKey, "false")
-      val data =
-        try spark.read.option("basePath", dataDir(dir)).parquet(files: _*)
-        finally spark.conf.set(inferKey, prevInfer)
+      // bucket column derived from the partition dir and PINNED to string
+      // via an explicit schema (readData) — an inferred numeric bucket
+      // would round-trip "007" → 7 → a DIFFERENT partition dir and a
+      // replaces key no manifest row matches: silent duplicates
+      val data = readData(spark, dir, files)
+      val bucketCol = data.columns.last
       // one shuffle keyed by the bucket so each bucket lands as one task's
       // output (~one file, or maxRecordsPerFile-sized splits)
       verifyMaintenanceLease(fs, dir, uuid)
@@ -1107,13 +1152,7 @@ object LineageSink {
       // re-run re-lists their (already deleted) files — a no-op, reported
       // as one
       val nDeleted = doomed.count(p => fs.delete(new Path(p), false))
-      // seq-claim housekeeping: only the maximum matters for future claims
-      val seqDir = new Path(s"${manifestDir(dir)}/seq")
-      if (fs.exists(seqDir)) {
-        val names = fs.listStatus(seqDir).map(_.getPath.getName)
-          .filter(_.forall(_.isDigit)).sorted
-        names.dropRight(1).foreach(n => fs.delete(new Path(seqDir, n), false))
-      }
+      pruneSeqClaims(fs, dir)
       nDeleted
     } finally releaseMaintenanceLease(fs, dir, uuid)
   }

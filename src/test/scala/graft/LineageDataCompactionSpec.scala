@@ -152,6 +152,18 @@ class LineageDataCompactionSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       LineageSink.snapshotAsOfSeq(spark, dir, seq1))
     assert(e2.getMessage.contains("watermark"))
+    // a stamper crash between the HDFS fallback's delete and rename leaves
+    // the value only in a .wm- temp — the guard must still hold (the
+    // watermark read max-merges temps)
+    val wm = new java.io.File(s"$dir/manifest/_expire_watermark")
+    val wmBytes = java.nio.file.Files.readAllBytes(wm.toPath)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest/.wm-crashed"), wmBytes)
+    assert(wm.delete())
+    val e3 = intercept[IllegalArgumentException](
+      LineageSink.snapshotAsOfSeq(spark, dir, seq1))
+    assert(e3.getMessage.contains("watermark"),
+      "crashed watermark stamp silently dropped the expiry guard")
     // at/above the watermark: fine, and exact
     val top = LineageSink.latestSeq(spark, dir).get
     assert(ids(LineageSink.snapshotAsOfSeq(spark, dir, top)) === (0L until 80L).toSet)
@@ -182,6 +194,26 @@ class LineageDataCompactionSpec extends AnyFunSuite {
     assert(ids(LineageSink.snapshotAsOfSeq(spark, dir, seq1)) === (0L until 40L).toSet)
     assert(ids(LineageSink.snapshotAsOfSeq(spark, dir, seq2)) === (0L until 80L).toSet)
     assert(ids(LineageSink.snapshotAsOfSeq(spark, dir, seq1 - 1)) === Set.empty)
+  }
+
+  test("legacy sink (no commit_seq column): seq as-of is empty, latestSeq is None") {
+    val dir = freshDir("legacy-seq")
+    // forge a pre-round-6 manifest commit: the five original columns only
+    val legacy = Seq(("b0", 1L, Seq(s"$dir/data/bucket=b0/none.parquet"),
+        "job-legacy", new java.sql.Timestamp(1000L)))
+      .toDF("bucket", "rows", "files", "job_id", "written_at")
+    val tmp = s"$dir/manifest/.legacy-stage"
+    legacy.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(part.renameTo(new java.io.File(s"$dir/manifest/commit-job-legacy.parquet")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+
+    assert(LineageSink.latestSeq(spark, dir) === None)
+    // documented: sequence travel covers the sequenced era — a fully
+    // pre-sequence sink yields the empty frame, not an analysis error
+    assert(LineageSink.snapshotAsOfSeq(spark, dir, 5L).columns.isEmpty)
+    assert(LineageSink.snapshotAsOfSeq(spark, dir, 5L).count() === 0L)
   }
 
   test("readers racing a data compaction never see duplicates or misses") {

@@ -57,6 +57,8 @@ object Gf {
     "img_width" -> (e => ImgWidth(e(0))),
     "img_height" -> (e => ImgHeight(e(0))),
     "img_reencode" -> (e => ImgReencode(e(0), e(1))),
+    "img_synth" -> (e => ImgSynth(e(0), e(1))),
+    "img_synth_phash" -> (e => ImgSynthPhash(e(0), e(1))),
     "hamming64" -> (e => Hamming64(e(0), e(1))),
     "img_resize" -> (e => ImgResize(e(0), e(1), e(2), e(3))),
     "h3_cell" -> (e => H3CellExpr(e(0), e(1), e(2))),
@@ -191,6 +193,10 @@ object Gf {
   def imgWidth(a: Column): Column = call_function("img_width", a)
   def imgHeight(a: Column): Column = call_function("img_height", a)
   def imgReencode(a: Column, fmt: Column): Column = call_function("img_reencode", a, fmt)
+  def imgSynth(k: Column, patterns: Int): Column =
+    call_function("img_synth", k.cast("long"), lit(patterns))
+  def imgSynthPhash(k: Column, patterns: Int): Column =
+    call_function("img_synth_phash", k.cast("long"), lit(patterns))
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
   def imgResize(bytes: Column, w: Int, h: Int, fmt: String): Column =
     call_function("img_resize", bytes, lit(w), lit(h), lit(fmt))

@@ -283,4 +283,37 @@ object ImageOps {
     val (px, w, h) = decodeAll(bytes)
     encode(px, w, h, fmt)
   }
+
+  // ---- synthetic-table kernels (graft.sources.Images columns) ----
+  // One home for the key→image derivation so the Catalyst projection
+  // (img_synth / img_synth_phash) and the driver-side Images.row helper can
+  // never drift: pattern = k % patterns, w = 32 + (pattern % 3)·16, h = 32,
+  // fmt = jpeg when pattern % 4 == 0 (stored grayscale — see toGray) else
+  // png. Exposing the columns as separate expressions is what lets column
+  // pruning drop the encode entirely for key-only consumers.
+
+  private def synthRaster(k: Long, patterns: Int): (Array[Int], Int, Int, String) = {
+    require(k >= 0, s"image key must be non-negative, got $k")
+    val pat = k % patterns
+    val w = 32 + (pat % 3).toInt * 16
+    val h = 32
+    val fmt = if (pat % 4 == 0) "jpeg" else "png"
+    val colorPx = synthPixels(pat, w, h)
+    val px = if (fmt == "jpeg") toGray(colorPx) else colorPx
+    (px, w, h, fmt)
+  }
+
+  /** Encoded bytes of the synthetic image for key `k` — byte-identical to
+    * the historical Images.row path (same raster, same encoder). */
+  def synthBytes(k: Long, patterns: Int): Array[Byte] = {
+    val (px, w, h, fmt) = synthRaster(k, patterns)
+    encode(px, w, h, fmt)
+  }
+
+  /** Perceptual hash of the synthetic image for key `k` (hash of the
+    * PRE-encode raster, as Images.row always computed it). */
+  def synthPhash(k: Long, patterns: Int): Long = {
+    val (px, w, h, _) = synthRaster(k, patterns)
+    phashOfPixels(px, w, h)
+  }
 }

@@ -63,6 +63,34 @@ case class ImgReencode(left: Expression, right: Expression) extends BinaryExpres
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** img_synth(k, patterns) — encoded bytes of the deterministic synthetic
+  * image for key k (the Images table's `bytes` column as a prunable,
+  * codegen projection: consumers that never read the bytes never pay the
+  * encode). */
+case class ImgSynth(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "img_synth"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(k: Any, p: Any): Any =
+    ImageOps.synthBytes(k.asInstanceOf[Long], p.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (k, p) => s"$I.synthBytes($k, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** img_synth_phash(k, patterns) — perceptual hash of the synthetic image
+  * for key k (the Images table's `phash` column, prunable like img_synth). */
+case class ImgSynthPhash(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "img_synth_phash"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(k: Any, p: Any): Any =
+    ImageOps.synthPhash(k.asInstanceOf[Long], p.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (k, p) => s"$I.synthPhash($k, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** hamming64(a, b) — bit distance between 64-bit hashes (SimHash/pHash dedup). */
 case class Hamming64(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "hamming64"

@@ -11,9 +11,13 @@ case class ImageRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
                     fmt: String, caption: String, phash: Long)
 
 /** Deterministic synthetic image+caption table (no external data; fixed
-  * arithmetic, no RNG state). Generation runs distributed via mapPartitions
-  * over spark.range — each executor synthesizes and encodes its own shard
-  * with the real JDK PNG/JPEG codecs.
+  * arithmetic, no RNG state). Generation is a per-column Catalyst
+  * PROJECTION over the key table (round-7): each derived column — id,
+  * encoded bytes, dims, fmt, caption, phash — is its own expression, so
+  * column pruning reaches the synthesizer exactly like a parquet scan and
+  * consumers that never read `bytes` never pay the PNG/JPEG encode (the
+  * former mapPartitions closure was opaque to the optimizer and forced
+  * every consumer through the full encode).
   *
   * Planted structure (all pure functions of the row number `k`):
   *  - visual pattern = k % `patterns` → images sharing a pattern are
@@ -49,17 +53,41 @@ object Images {
     val w = 32 + (pat % 3).toInt * 16
     val h = 32
     val fmt = if (pat % 4 == 0) "jpeg" else "png"
-    val colorPx = ImageOps.synthPixels(pat, w, h)
-    val px = if (fmt == "jpeg") ImageOps.toGray(colorPx) else colorPx
-    ImageRow(f"img_$k%09d", ImageOps.encode(px, w, h, fmt), w, h, fmt,
-      caption(k), ImageOps.phashOfPixels(px, w, h))
+    ImageRow(f"img_$k%09d", ImageOps.synthBytes(k, patterns), w, h, fmt,
+      caption(k), ImageOps.synthPhash(k, patterns))
+  }
+
+  /** All derived image columns as SEPARATE expressions over the key column
+    * `k` — the prunable synthesizer. Caption index math uses the identity
+    * (k/10)%10 == floor((k%100)/10) (k ≥ 0) so every index is exact column
+    * arithmetic; the expensive columns (bytes, phash) are the img_synth /
+    * img_synth_phash kernels, byte-identical to [[row]]. */
+  private def projected(keys: DataFrame, patterns: Int): DataFrame = {
+    graft.functions.Gf.register(keys.sparkSession)
+    val k = col("k")
+    val pat = k % patterns
+    keys.select(
+      format_string("img_%09d", k).as("image_id"),
+      graft.functions.Gf.imgSynth(k, patterns).as("bytes"),
+      (lit(32) + (pat % 3).cast("int") * lit(16)).as("w"),
+      lit(32).as("h"),
+      when(pat % 4 === 0, lit("jpeg")).otherwise(lit("png")).as("fmt"),
+      concat(lit("image "), k.cast("string"), lit(" shows a "),
+        element_at(typedlit(adjectives.toSeq), (k % 10).cast("int") + 1),
+        lit(" "),
+        element_at(typedlit(nouns.toSeq),
+          floor((k % 100) / 10.0).cast("int") + 1),
+        lit(" near "),
+        element_at(typedlit(places.toSeq),
+          floor((k % 1000) / 100.0).cast("int") + 1)).as("caption"),
+      graft.functions.Gf.imgSynthPhash(k, patterns).as("phash"))
   }
 
   /** The input table at size `n`. */
   def synthesize(spark: SparkSession, n: Long,
                  patterns: Int = DefaultPatterns): Dataset[ImageRow] = {
     import spark.implicits._
-    spark.range(n).as[Long].mapPartitions(_.map(row(_, patterns)))
+    projected(spark.range(n).select(col("id").as("k")), patterns).as[ImageRow]
   }
 
   /** Input table keyed by an explicit key column `k` (so a SQL oracle can
@@ -70,9 +98,8 @@ object Images {
     // whole encode pipeline would run in ONE task. Shuffling bare longs is
     // free next to per-row image encoding — always spread across all cores.
     val slices = keys.sparkSession.sparkContext.defaultParallelism
-    keys.select(col("k").cast("long")).as[Long]
-      .repartition(slices)
-      .mapPartitions(_.map(row(_, patterns)))
+    projected(keys.select(col("k").cast("long").as("k")).repartition(slices),
+      patterns).as[ImageRow]
   }
 
   /** Standard derived image set for the driver testdata: 4 images per part

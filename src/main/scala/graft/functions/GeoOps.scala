@@ -44,21 +44,56 @@ object GeoOps {
     p
   }
 
+  // ---- WKB point fast path ----
+  // A simple 2D OGC point is exactly 21 bytes: byte-order flag, uint32
+  // type == 1, two doubles. The point-feature join paths (J4/boxFeatures)
+  // call centroid/intersects on such payloads once per candidate row, and
+  // the general route pays a full WKBReader parse + JTS object build each
+  // time; reading the two doubles directly is semantically identical (the
+  // centroid OF a point IS the point; intersects builds the same Point).
+  // Anything else — EWKB, Z/M dims, non-point types — falls through to the
+  // JTS parse unchanged.
+  private def isWkbPoint(a: Array[Byte]): Boolean =
+    a.length == 21 && (a(0) == 0 || a(0) == 1) && {
+      if (a(0) == 1)
+        a(1) == 1 && a(2) == 0 && a(3) == 0 && a(4) == 0
+      else
+        a(1) == 0 && a(2) == 0 && a(3) == 0 && a(4) == 1
+    }
+
+  private def readDouble(a: Array[Byte], off: Int, little: Boolean): Double = {
+    var bits = 0L
+    if (little) {
+      var i = 7
+      while (i >= 0) { bits = (bits << 8) | (a(off + i) & 255L); i -= 1 }
+    } else {
+      var i = 0
+      while (i < 8) { bits = (bits << 8) | (a(off + i) & 255L); i += 1 }
+    }
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
+  private def pointGeom(a: Array[Byte]): Geometry = {
+    val little = a(0) == 1
+    Geo.point(readDouble(a, 5, little), readDouble(a, 13, little))
+  }
+
   // ---- predicates (left side cached/prepared) ----
   def intersects(a: Array[Byte], b: Array[Byte]): Boolean =
-    prepared(a).intersects(Geo.fromWkb(b))
+    prepared(a).intersects(if (isWkbPoint(b)) pointGeom(b) else Geo.fromWkb(b))
 
   def contains(a: Array[Byte], b: Array[Byte]): Boolean =
-    prepared(a).contains(Geo.fromWkb(b))
+    prepared(a).contains(if (isWkbPoint(b)) pointGeom(b) else Geo.fromWkb(b))
 
   def within(a: Array[Byte], b: Array[Byte]): Boolean =
-    prepared(b).contains(Geo.fromWkb(a))
+    prepared(b).contains(if (isWkbPoint(a)) pointGeom(a) else Geo.fromWkb(a))
 
   def touches(a: Array[Byte], b: Array[Byte]): Boolean =
-    prepared(a).touches(Geo.fromWkb(b))
+    prepared(a).touches(if (isWkbPoint(b)) pointGeom(b) else Geo.fromWkb(b))
 
   def containsCentroid(a: Array[Byte], b: Array[Byte]): Boolean =
-    prepared(a).contains(Geo.fromWkb(b).getCentroid)
+    prepared(a).contains(
+      if (isWkbPoint(b)) pointGeom(b) else Geo.fromWkb(b).getCentroid)
 
   // ---- constructors / converters ----
   def geomFromText(wkt: String): Array[Byte] = Geo.wktToWkb(wkt)
@@ -85,8 +120,12 @@ object GeoOps {
   def bufferMeters(a: Array[Byte], meters: Double): Array[Byte] =
     Geo.toWkb(Geo.bufferMeters(Geo.fromWkb(a), meters))
 
-  def centroidX(a: Array[Byte]): Double = Geo.fromWkb(a).getCentroid.getX
-  def centroidY(a: Array[Byte]): Double = Geo.fromWkb(a).getCentroid.getY
+  def centroidX(a: Array[Byte]): Double =
+    if (isWkbPoint(a)) readDouble(a, 5, a(0) == 1)
+    else Geo.fromWkb(a).getCentroid.getX
+  def centroidY(a: Array[Byte]): Double =
+    if (isWkbPoint(a)) readDouble(a, 13, a(0) == 1)
+    else Geo.fromWkb(a).getCentroid.getY
 
   def startPoint(a: Array[Byte]): Array[Byte] = {
     val g = Geo.fromWkb(a)

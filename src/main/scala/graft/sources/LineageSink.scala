@@ -389,7 +389,15 @@ object LineageSink {
     * them). Reproducibility note: `snapshotAsOfSeq(n)` is stable once every
     * claim ≤ n has landed its manifest row or its claimant died — the
     * claim-to-land window is one small parquet write + rename inside a
-    * heartbeated commit, the tight bound wall-clock skew never had. */
+    * heartbeated commit, the tight bound wall-clock skew never had.
+    *
+    * FILESYSTEM REQUIREMENT (round-7 ADVICE): uniqueness rests on
+    * `fs.create(path, overwrite = false)` being ATOMIC — true on HDFS and
+    * POSIX local FS. On stores where exclusive create is check-then-create
+    * (RawLocalFileSystem, object stores without conditional PUT), two
+    * racing committers could both claim one number; run the sink over a
+    * store with atomic create (or front it with a coordination layer)
+    * when multi-writer seq exactness matters. */
   private def claimSeq(fs: FileSystem, dir: String, jobId: String): Long = {
     val seqDir = new Path(s"${manifestDir(dir)}/seq")
     fs.mkdirs(seqDir)
@@ -847,14 +855,24 @@ object LineageSink {
     * strand the session with inference off). The bucket column name is
     * derived from the partition dir (`<col>=<v>`) — never from the caller. */
   private def readData(spark: SparkSession, dir: String,
-                       files: Seq[String]): DataFrame = {
+                       files: Seq[String],
+                       mergeSchema: Boolean = false): DataFrame = {
     val partDir = new Path(files.head).getParent.getName
     require(partDir.contains("="),
       s"unpartitioned data layout under ${dataDir(dir)}")
     val bucketCol = partDir.substring(0, partDir.indexOf('='))
-    // one footer read gives the data columns; partitionBy stripped the
-    // bucket from the files, so append it (always last, always string)
-    val dataSchema = spark.read.parquet(files.head).schema
+    // default: one footer read gives the data columns (snapshot hot path —
+    // commits are expected schema-uniform). `mergeSchema = true` takes the
+    // UNION of all input footers instead: REQUIRED on the compactData path,
+    // where a single sampled footer would silently null-drop columns added
+    // by schema-evolved commits and expireSuperseded would then delete the
+    // only files carrying them — permanent data loss (round-7 ADVICE). Any
+    // partition column inference from the multi-file read is stripped below;
+    // the bucket is re-appended PINNED to string.
+    val dataSchema =
+      if (mergeSchema)
+        spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+      else spark.read.parquet(files.head).schema
     val full = StructType(dataSchema.filterNot(_.name == bucketCol) :+
       StructField(bucketCol, StringType, nullable = true))
     spark.read.option("basePath", dataDir(dir)).schema(full)
@@ -996,12 +1014,28 @@ object LineageSink {
           s"another compaction/expiry holds the maintenance lease at $p " +
             "(younger than graft.lineage.staleMs); retry after it finishes " +
             "or goes stale")
+      // stale: reap it, then race on the EXCLUSIVE create below — two
+      // reapers may both delete (second is a no-op) but only one create
+      // can win
+      fs.delete(p, false)
     }
+    // delete-stale-then-exclusive-create — the same primitive as the
+    // pending markers and seq claims (round-7 ADVICE: the old
+    // overwrite + sleep + read-back was a best-effort mutex: an acquirer
+    // delayed past the holder's read-back granted both). The read-back
+    // verify stays as the belt for filesystems whose create(overwrite =
+    // false) is check-then-create rather than atomic.
     val uuid = java.util.UUID.randomUUID().toString
     fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"another compaction/expiry just took the maintenance lease at $p; " +
+              "retry after it finishes or goes stale", e)
+      }
     try out.write(uuid.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    Thread.sleep(10) // let a racing overwrite land before the read-back
     verifyMaintenanceLease(fs, dir, uuid)
     uuid
   }
@@ -1091,8 +1125,11 @@ object LineageSink {
       // bucket column derived from the partition dir and PINNED to string
       // via an explicit schema (readData) — an inferred numeric bucket
       // would round-trip "007" → 7 → a DIFFERENT partition dir and a
-      // replaces key no manifest row matches: silent duplicates
-      val data = readData(spark, dir, files)
+      // replaces key no manifest row matches: silent duplicates.
+      // mergeSchema: the rewrite must carry the UNION of its inputs'
+      // columns — a single sampled footer would drop schema-evolved
+      // columns and expiry would then delete their only copies
+      val data = readData(spark, dir, files, mergeSchema = true)
       val bucketCol = data.columns.last
       // one shuffle keyed by the bucket so each bucket lands as one task's
       // output (~one file, or maxRecordsPerFile-sized splits)
@@ -1132,6 +1169,9 @@ object LineageSink {
       .collect()
     if (victims.isEmpty) return 0
     val uuid = acquireMaintenanceLease(fs, dir, staleMs(spark))
+    // heartbeat like compactData: a delete phase longer than staleMs must
+    // not let a second maintainer in mid-expiry (round-7 ADVICE)
+    val heartbeat = startHeartbeat(fs, dir, "__maintenance", staleMs(spark))
     try {
       // belt: never delete a file a CURRENT row still references
       // (compaction rewrites bytes into new files, so overlap would be a
@@ -1154,7 +1194,10 @@ object LineageSink {
       val nDeleted = doomed.count(p => fs.delete(new Path(p), false))
       pruneSeqClaims(fs, dir)
       nDeleted
-    } finally releaseMaintenanceLease(fs, dir, uuid)
+    } finally {
+      stopHeartbeat(heartbeat)
+      releaseMaintenanceLease(fs, dir, uuid)
+    }
   }
 
   /** Resume a partially-completed job: recover from any crashed attempt,

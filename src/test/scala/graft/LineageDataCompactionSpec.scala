@@ -253,6 +253,30 @@ class LineageDataCompactionSpec extends AnyFunSuite {
     assert(ids(LineageSink.snapshot(spark, dir)) === (0L until 280L).toSet)
   }
 
+  test("compactData keeps columns added by schema-evolved commits") {
+    // round-7 ADVICE (medium): the compaction rewrite used the FIRST
+    // file's footer as the read schema, silently null-dropping columns
+    // added by later commits — and expiry then deleted the only files
+    // carrying them. The rewrite must take the union of its inputs'
+    // schemas.
+    val dir = freshDir("compact-evolve")
+    LineageSink.write(slice(0), dir, "bucket")
+    LineageSink.write(
+      (40 until 80).map(i => (i.toLong, s"tag$i", s"b${i % 4}"))
+        .toDF("id", "extra", "bucket"),
+      dir, "bucket")
+    assert(LineageSink.compactData(spark, dir) === 4)
+    assert(LineageSink.expireSuperseded(spark, dir, olderThanMs = 0L) > 0)
+    val snap = LineageSink.snapshot(spark, dir)
+    assert(snap.columns.contains("extra"),
+      s"schema-evolved column lost by compaction: ${snap.columns.mkString(",")}")
+    val rows = snap.select("id", "extra").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows.keySet === (0L until 80L).toSet)
+    (0 until 40).foreach(i => assert(rows(i.toLong).isEmpty))
+    (40 until 80).foreach(i => assert(rows(i.toLong).contains(s"tag$i")))
+  }
+
   test("maintenance lease: a concurrent holder makes compactData fail loudly") {
     val dir = freshDir("compact-lease")
     for (k <- 0 until 3) LineageSink.write(slice(k), dir, "bucket")

@@ -24,15 +24,35 @@ object ImageOps {
     val p0 = ((pattern * 2654435761L) >>> 8) % 251
     val p1 = ((pattern * 40503L) >>> 4) % 241
     val p2 = (pattern * 97L) % 11 + 2
+    // r depends only on x and g only on y — hoist each out of the inner
+    // loop (round-7: cuts the sin() count from 3wh to wh+w+h, bit-exact
+    // because the hoisted expressions are the per-pixel ones verbatim; the
+    // md5 anchors in ImageSynthProjectionSpec pin the output bytes)
+    val rRow = new Array[Int](w)
+    var x = 0
+    while (x < w) {
+      val fx = x.toDouble / w
+      rRow(x) =
+        (127.5 + 127.5 * math.sin(2 * math.Pi * (fx * p2 / 4.0 + p0 / 251.0))).toInt << 16
+      x += 1
+    }
+    val gCol = new Array[Int](h)
     var y = 0
     while (y < h) {
-      var x = 0
+      val fy = y.toDouble / h
+      gCol(y) =
+        (127.5 + 127.5 * math.sin(2 * math.Pi * (fy * p2 / 4.0 + p1 / 241.0))).toInt << 8
+      y += 1
+    }
+    y = 0
+    while (y < h) {
+      val fy = y.toDouble / h
+      val rg = gCol(y)
+      x = 0
       while (x < w) {
-        val fx = x.toDouble / w; val fy = y.toDouble / h
-        val r = (127.5 + 127.5 * math.sin(2 * math.Pi * (fx * p2 / 4.0 + p0 / 251.0))).toInt
-        val g = (127.5 + 127.5 * math.sin(2 * math.Pi * (fy * p2 / 4.0 + p1 / 241.0))).toInt
+        val fx = x.toDouble / w
         val b = (127.5 + 127.5 * math.sin(2 * math.Pi * ((fx + fy) / 2.0 + (p0 + p1) / 128.0))).toInt
-        px(y * w + x) = (r << 16) | (g << 8) | b
+        px(y * w + x) = rRow(x) | rg | b
         x += 1
       }
       y += 1

@@ -51,15 +51,18 @@ object GeoOps {
   // the general route pays a full WKBReader parse + JTS object build each
   // time; reading the two doubles directly is semantically identical (the
   // centroid OF a point IS the point; intersects builds the same Point).
-  // Anything else — EWKB, Z/M dims, non-point types — falls through to the
-  // JTS parse unchanged.
+  // Anything else — EWKB, Z/M dims, non-point types, and NaN ordinates
+  // (JTS serializes POINT EMPTY as a 21-byte NaN point, whose centroid
+  // accessors must keep THROWING like the JTS route, not return NaN) —
+  // falls through to the JTS parse unchanged.
   private def isWkbPoint(a: Array[Byte]): Boolean =
     a.length == 21 && (a(0) == 0 || a(0) == 1) && {
       if (a(0) == 1)
         a(1) == 1 && a(2) == 0 && a(3) == 0 && a(4) == 0
       else
         a(1) == 0 && a(2) == 0 && a(3) == 0 && a(4) == 1
-    }
+    } && !readDouble(a, 5, a(0) == 1).isNaN &&
+      !readDouble(a, 13, a(0) == 1).isNaN
 
   private def readDouble(a: Array[Byte], off: Int, little: Boolean): Double = {
     var bits = 0L

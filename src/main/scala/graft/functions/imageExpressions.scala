@@ -67,9 +67,13 @@ case class ImgReencode(left: Expression, right: Expression) extends BinaryExpres
   * image for key k (the Images table's `bytes` column as a prunable,
   * codegen projection: consumers that never read the bytes never pay the
   * encode). */
-case class ImgSynth(left: Expression, right: Expression) extends BinaryExpression {
+case class ImgSynth(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "img_synth"
   override def nullIntolerant: Boolean = true
+  // declared input types so a SQL call with integer literals coerces
+  // instead of CCE-ing in the interpreted path (round-7 review)
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullSafeEval(k: Any, p: Any): Any =
     ImageOps.synthBytes(k.asInstanceOf[Long], p.asInstanceOf[Int])
@@ -80,9 +84,11 @@ case class ImgSynth(left: Expression, right: Expression) extends BinaryExpressio
 
 /** img_synth_phash(k, patterns) — perceptual hash of the synthetic image
   * for key k (the Images table's `phash` column, prunable like img_synth). */
-case class ImgSynthPhash(left: Expression, right: Expression) extends BinaryExpression {
+case class ImgSynthPhash(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "img_synth_phash"
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
   override def dataType: DataType = LongType
   override def nullSafeEval(k: Any, p: Any): Any =
     ImageOps.synthPhash(k.asInstanceOf[Long], p.asInstanceOf[Int])

@@ -47,14 +47,20 @@ object Images {
     s"image $k shows a $a $n near $p"
   }
 
+  /** Driver-side reference derivation — kept INDEPENDENT of the img_synth
+    * kernels (raster built once, encoded and hashed from the same pixels)
+    * so ImageSynthProjectionSpec's equivalence test really compares two
+    * implementations, not one kernel with itself. */
   def row(k: Long, patterns: Int): ImageRow = {
     require(k >= 0, s"image key must be non-negative, got $k")
     val pat = k % patterns
     val w = 32 + (pat % 3).toInt * 16
     val h = 32
     val fmt = if (pat % 4 == 0) "jpeg" else "png"
-    ImageRow(f"img_$k%09d", ImageOps.synthBytes(k, patterns), w, h, fmt,
-      caption(k), ImageOps.synthPhash(k, patterns))
+    val colorPx = ImageOps.synthPixels(pat, w, h)
+    val px = if (fmt == "jpeg") ImageOps.toGray(colorPx) else colorPx
+    ImageRow(f"img_$k%09d", ImageOps.encode(px, w, h, fmt), w, h, fmt,
+      caption(k), ImageOps.phashOfPixels(px, w, h))
   }
 
   /** All derived image columns as SEPARATE expressions over the key column

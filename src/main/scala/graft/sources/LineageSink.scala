@@ -393,11 +393,15 @@ object LineageSink {
     *
     * FILESYSTEM REQUIREMENT (round-7 ADVICE): uniqueness rests on
     * `fs.create(path, overwrite = false)` being ATOMIC — true on HDFS and
-    * POSIX local FS. On stores where exclusive create is check-then-create
-    * (RawLocalFileSystem, object stores without conditional PUT), two
-    * racing committers could both claim one number; run the sink over a
-    * store with atomic create (or front it with a coordination layer)
-    * when multi-writer seq exactness matters. */
+    * on stores with conditional create. Hadoop's LOCAL filesystem
+    * (RawLocalFileSystem/ChecksumFileSystem — what a bare path resolves
+    * to, including every test here) implements it as check-then-create, as
+    * do object stores without conditional PUT: there, two committers in
+    * DIFFERENT processes racing the same sink could both claim one number.
+    * Single-process concurrency (this sandbox) is still safe — the claims
+    * race through one JVM's filesystem instance. For true multi-process
+    * writers, run the sink over a store with atomic create or front it
+    * with a coordination layer. */
   private def claimSeq(fs: FileSystem, dir: String, jobId: String): Long = {
     val seqDir = new Path(s"${manifestDir(dir)}/seq")
     fs.mkdirs(seqDir)
@@ -855,24 +859,24 @@ object LineageSink {
     * strand the session with inference off). The bucket column name is
     * derived from the partition dir (`<col>=<v>`) — never from the caller. */
   private def readData(spark: SparkSession, dir: String,
-                       files: Seq[String],
-                       mergeSchema: Boolean = false): DataFrame = {
+                       files: Seq[String]): DataFrame = {
     val partDir = new Path(files.head).getParent.getName
     require(partDir.contains("="),
       s"unpartitioned data layout under ${dataDir(dir)}")
     val bucketCol = partDir.substring(0, partDir.indexOf('='))
-    // default: one footer read gives the data columns (snapshot hot path —
-    // commits are expected schema-uniform). `mergeSchema = true` takes the
-    // UNION of all input footers instead: REQUIRED on the compactData path,
-    // where a single sampled footer would silently null-drop columns added
-    // by schema-evolved commits and expireSuperseded would then delete the
-    // only files carrying them — permanent data loss (round-7 ADVICE). Any
-    // partition column inference from the multi-file read is stripped below;
-    // the bucket is re-appended PINNED to string.
+    // The read schema is the UNION of all input footers (mergeSchema), on
+    // EVERY path (round-7): a single sampled footer silently null-dropped
+    // columns added by schema-evolved commits — on the compactData path
+    // that was permanent data loss once expiry deleted the originals
+    // (round-7 ADVICE, medium), and on the snapshot path it made the
+    // visible column set depend on which file happened to be listed first.
+    // Cost: one footer per input file, read distributed — bounded by the
+    // (pruned) file count of the read, and identical output on the
+    // expected schema-uniform table. Any partition-column inference from
+    // the multi-file read is stripped below; the bucket is re-appended
+    // PINNED to string.
     val dataSchema =
-      if (mergeSchema)
-        spark.read.option("mergeSchema", "true").parquet(files: _*).schema
-      else spark.read.parquet(files.head).schema
+      spark.read.option("mergeSchema", "true").parquet(files: _*).schema
     val full = StructType(dataSchema.filterNot(_.name == bucketCol) :+
       StructField(bucketCol, StringType, nullable = true))
     spark.read.option("basePath", dataDir(dir)).schema(full)
@@ -1014,10 +1018,25 @@ object LineageSink {
           s"another compaction/expiry holds the maintenance lease at $p " +
             "(younger than graft.lineage.staleMs); retry after it finishes " +
             "or goes stale")
-      // stale: reap it, then race on the EXCLUSIVE create below — two
-      // reapers may both delete (second is a no-op) but only one create
-      // can win
-      fs.delete(p, false)
+      // Stale: reap by RENAME-to-unique, not delete — a reaper delayed
+      // between its staleness check and the reap could otherwise destroy a
+      // lease a faster acquirer just created (round-7 review). Rename is
+      // first-wins (the loser's source is gone), and the winner re-checks
+      // the REAPED file's liveness: if it turns out fresh (stolen from a
+      // live heartbeating holder that re-acquired in our window), restore
+      // it and back off loudly.
+      val reaped = new Path(p.getParent,
+        s".reap-${java.util.UUID.randomUUID()}")
+      if (fs.rename(p, reaped)) {
+        val rst = fs.getFileStatus(reaped)
+        if (System.currentTimeMillis() - rst.getModificationTime < horizonMs) {
+          if (!fs.rename(reaped, p)) fs.delete(reaped, false)
+          throw new IllegalStateException(
+            s"maintenance lease at $p was re-acquired while this reaper " +
+              "was stalled; restored it — retry later")
+        }
+        fs.delete(reaped, false)
+      } // rename lost: another reaper got there first — race on create below
     }
     // delete-stale-then-exclusive-create — the same primitive as the
     // pending markers and seq claims (round-7 ADVICE: the old
@@ -1126,10 +1145,11 @@ object LineageSink {
       // via an explicit schema (readData) — an inferred numeric bucket
       // would round-trip "007" → 7 → a DIFFERENT partition dir and a
       // replaces key no manifest row matches: silent duplicates.
-      // mergeSchema: the rewrite must carry the UNION of its inputs'
-      // columns — a single sampled footer would drop schema-evolved
-      // columns and expiry would then delete their only copies
-      val data = readData(spark, dir, files, mergeSchema = true)
+      // readData merges all input footers, so the rewrite carries the
+      // UNION of its inputs' columns — a single sampled footer would drop
+      // schema-evolved columns and expiry would then delete their only
+      // copies
+      val data = readData(spark, dir, files)
       val bucketCol = data.columns.last
       // one shuffle keyed by the bucket so each bucket lands as one task's
       // output (~one file, or maxRecordsPerFile-sized splits)

@@ -49,4 +49,15 @@ class GeoPointFastPathSpec extends AnyFunSuite {
     val line = Geo.toWkb(Geo.fromWkt("LINESTRING (0 0, 2 2)"))
     assert(GeoOps.centroidX(line) === Geo.fromWkb(line).getCentroid.getX)
   }
+
+  test("POINT EMPTY (21-byte NaN WKB) keeps the loud JTS behavior") {
+    // JTS serializes the empty point as a NaN-ordinate point, which is the
+    // same 21-byte layout the fast path matches on — the NaN guard must
+    // route it back to JTS so the former loud failure does not become a
+    // silent NaN flowing into cell derivations
+    val empty = Geo.toWkb(Geo.fromWkt("POINT EMPTY"))
+    assertThrows[Exception](Geo.fromWkb(empty).getCentroid.getX)
+    assertThrows[Exception](GeoOps.centroidX(empty))
+    assertThrows[Exception](GeoOps.centroidY(empty))
+  }
 }

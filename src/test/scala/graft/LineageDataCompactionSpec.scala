@@ -265,6 +265,9 @@ class LineageDataCompactionSpec extends AnyFunSuite {
       (40 until 80).map(i => (i.toLong, s"tag$i", s"b${i % 4}"))
         .toDF("id", "extra", "bucket"),
       dir, "bucket")
+    // reader-side: the PRE-compaction snapshot already carries the evolved
+    // column (footer union), independent of file listing order
+    assert(LineageSink.snapshot(spark, dir).columns.contains("extra"))
     assert(LineageSink.compactData(spark, dir) === 4)
     assert(LineageSink.expireSuperseded(spark, dir, olderThanMs = 0L) > 0)
     val snap = LineageSink.snapshot(spark, dir)

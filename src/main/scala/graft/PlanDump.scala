@@ -18,7 +18,15 @@ object PlanDump {
     val spark = GraftSession.local(cpus, "graft-plandump")
     val outDir = java.nio.file.Paths.get(s"plans/$round")
     java.nio.file.Files.createDirectories(outDir)
-    Bench.headline.foreach { case (name, fn) =>
+    // "extra" mode: the non-bench queries the round touched (image-table
+    // consumers outside the bench) — same files, "<name>_<suffix>.txt"
+    val queries: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] =
+      if (args.length > 2 && args(2) == "extra")
+        Seq("q12_patch_grid", "q42_intersection_geom", "q65_image_phash_neardup")
+          .map(n => n -> SparkEntry.queries(n))
+      else Bench.headline
+    queries.foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)

@@ -131,7 +131,16 @@ object Similarity {
     require(recallTarget > 0.0 && recallTarget <= 1.0,
       s"suggestIvf: recallTarget out of (0,1]: $recallTarget")
     require(k >= 1, s"suggestIvf: k must be >= 1, got $k")
-    val n = if (nHint > 0L) nHint else corpus.count()
+    val n = if (nHint > 0L) nHint else {
+      // counting the corpus re-materializes its upstream plan — callers
+      // with an expensive derived corpus should pass nHint (any rough
+      // count; the √n rule only cares about magnitude). Logged like
+      // simhashJaccardPairs' bands=0 path so the extra pass is observable.
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        "suggestIvf: no nHint — running corpus.count() to size nlist " +
+          "(pass nHint to skip re-materializing an expensive upstream plan)")
+      corpus.count()
+    }
     val nlist = math.max(4, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
     val model = trainIvf(corpus, nlist, iters, sampleSize, vecCol)
 
